@@ -1,0 +1,171 @@
+"""Configuration dataclasses.
+
+The reference drives everything through click flags -> nested EasyDicts ->
+``construct_class_by_name`` string registries (reference ``train.py:129-209``,
+``dnnlib/util.py:303``).  We replace that with typed dataclasses that
+serialize to/from JSON, plus a small name registry for datasets.
+
+All fields that shape compiled programs (resolutions, sample counts,
+capacities) are static Python ints so that jitted functions specialize on
+them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional, Tuple
+
+
+def _asdict(obj) -> dict:
+    return dataclasses.asdict(obj)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Volume rendering options (reference ``train.py:328-351`` rendering_kwargs)."""
+
+    depth_resolution: int = 48          # stratified samples per ray
+    depth_resolution_importance: int = 0  # importance samples (0 in all shipped configs)
+    clamp_mode: str = "relu"            # density clamp: 'relu' | 'softplus'
+    white_back: bool = False
+    density_noise: float = 1.0          # train-time sigma noise; forced 0 at eval
+    box_warp: float = 1.0               # unused by the SHERF path (bounds come from data)
+    disparity_space_sampling: bool = False
+    # KNN prune: samples farther than sqrt(threshold_sq) from the SMPL surface
+    # are masked out with density -80 (reference renderer.py:315-321,368).
+    prune_threshold_sq: float = 0.05 ** 2
+    # Static capacity (fraction of total samples) kept after pruning.  The
+    # reference uses dynamic boolean indexing; on TPU we compact to a fixed
+    # budget.  1.0 == no compaction (compute everything, mask the output).
+    point_capacity_frac: float = 1.0
+    # Ray chunk size for lax.map chunking of the per-point pipeline.
+    ray_chunk: int = 65536
+
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self))
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """SHERF generator hyper-parameters (reference ``train.py:238`` G_kwargs
+    + ``triplane.py:31-71``)."""
+
+    z_dim: int = 512
+    c_dim: int = 25
+    w_dim: int = 512
+    # hierarchical feature bank toggles (reference train.py:197-209 flags)
+    use_1d_feature: bool = True
+    use_2d_feature: bool = True
+    use_3d_feature: bool = True
+    use_trans: bool = True
+    use_nerf_decoder: bool = True
+    use_sr_module: bool = False
+    img_resolution: int = 512           # SR output resolution
+    img_channels: int = 3
+    # triplane backbone
+    backbone_resolution: int = 256
+    n_planes: int = 3
+    plane_channels: int = 32
+    channel_base: int = 32768
+    channel_max: int = 512
+    mapping_layers: int = 2
+    # sparse 3D conv feature volume
+    voxel_size: float = 0.005
+    sparse_conv_layers: int = 4
+    # compute dtype for the conv/matmul hot paths ('float32' | 'bfloat16')
+    compute_dtype: str = "float32"
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self))
+
+    @staticmethod
+    def from_json(s: str) -> "ModelConfig":
+        d = json.loads(s)
+        d["render"] = RenderConfig(**d.get("render", {}))
+        return ModelConfig(**d)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection + host pipeline options (reference train.py:246-268)."""
+
+    name: str = "synthetic"             # renderpeople | thuman | humman | zju | synthetic
+    data_root: str = ""
+    split: str = "train"
+    multi_person: bool = True
+    num_instance: int = 1
+    poses_start: int = 0
+    poses_interval: int = 1
+    poses_num: int = 20
+    image_scaling: float = 1.0
+    white_back: bool = False
+    sample_obs_view: bool = False
+    fix_obs_view: bool = True
+    resolution: int = 512
+    num_workers: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (reference train_*.sh + training_loop.py:243-256)."""
+
+    total_kimg: int = 800
+    batch_size: int = 4
+    lr: float = 2.5e-3
+    betas: Tuple[float, float] = (0.0, 0.99)
+    eps: float = 1e-8
+    # StepLR: x0.5 every (20000 // batch) steps (training_loop.py:254)
+    lr_decay_images: int = 20000
+    lr_decay_factor: float = 0.5
+    ema_kimg: float = 10.0
+    # loss weights (reference loss.py:165)
+    w_img: float = 100.0
+    w_acc: float = 10.0
+    w_ssim: float = 1.0
+    w_lpips: float = 1.0
+    recons_loss: bool = True
+    seed: int = 0
+    kimg_per_tick: int = 1
+    snapshot_ticks: int = 1
+    outdir: str = "runs"
+    resume: Optional[str] = None
+    # device mesh: (data, rays); ray axis shards rendering within a sample
+    mesh_shape: Tuple[int, int] = (1, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Eval protocol options (reference test_loop.py:87-151)."""
+
+    dataset: str = "zju"
+    data_root: str = ""
+    obs_views: Tuple[int, ...] = (4, 10, 16)
+    nv_pose_start: int = 0
+    np_pose_start: int = 2
+    pose_interval: int = 1
+    pose_num: int = 5
+    neural_rendering_resolution: int = 512
+    use_sr_module: bool = False
+    white_back: bool = False
+    outdir: str = "eval_out"
+
+
+# Per-dataset eval defaults (reference training_loop.py:311-328).
+EVAL_DEFAULTS = {
+    "renderpeople": dict(obs_views=(0, 16, 31), nv_pose_start=0, np_pose_start=2,
+                         pose_interval=2, pose_num=5),
+    "thuman": dict(obs_views=(4, 12, 20), nv_pose_start=0, np_pose_start=10,
+                   pose_interval=2, pose_num=5),
+    "humman": dict(obs_views=(0, 4, 8), nv_pose_start=0, np_pose_start=6,
+                   pose_interval=1, pose_num=6),
+    "zju": dict(obs_views=(4, 10, 16), nv_pose_start=0, np_pose_start=100,
+                pose_interval=5, pose_num=20),
+}
+
+
+def save_config(path: str, **configs: Any) -> None:
+    out = {k: _asdict(v) if dataclasses.is_dataclass(v) else v for k, v in configs.items()}
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)

@@ -1,0 +1,103 @@
+"""Gather-based bilinear / trilinear grid sampling.
+
+TPU replacement for ``torch.nn.functional.grid_sample`` as used by the
+reference for triplane lookup (renderer.py:234-243), pixel-aligned feature
+lookup (renderer.py:333-336, triplane.py:115-118) and sparse-volume readout
+(renderer.py:764-791).  Implemented as clipped gathers + in-bounds masks
+(zeros padding) so shapes stay static under jit.
+
+Coordinates are in [-1, 1], xy(z) order: x indexes the LAST spatial axis
+(W), matching torch's convention.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _unnormalize(coord, size: int, align_corners: bool):
+    if align_corners:
+        return (coord + 1.0) / 2.0 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) / 2.0
+
+
+def _gather_corners_2d(img, ix, iy):
+    """img: (H, W, C); ix, iy: (N,) int32 (may be out of bounds)."""
+    H, W, _ = img.shape
+    ixc = jnp.clip(ix, 0, W - 1)
+    iyc = jnp.clip(iy, 0, H - 1)
+    flat = img.reshape(H * W, -1)
+    vals = jnp.take(flat, iyc * W + ixc, axis=0)
+    ok = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    return vals * ok[:, None].astype(vals.dtype)
+
+
+def grid_sample_2d(img: jnp.ndarray, coords: jnp.ndarray,
+                   align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear sample with zeros padding.
+
+    img: (H, W, C); coords: (N, 2) normalized (x, y).  Returns (N, C).
+    """
+    x = _unnormalize(coords[:, 0], img.shape[1], align_corners)
+    y = _unnormalize(coords[:, 1], img.shape[0], align_corners)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1, y1 = x0 + 1, y0 + 1
+    wx = (x - x0.astype(x.dtype))[:, None]
+    wy = (y - y0.astype(y.dtype))[:, None]
+
+    v00 = _gather_corners_2d(img, x0, y0)
+    v01 = _gather_corners_2d(img, x1, y0)
+    v10 = _gather_corners_2d(img, x0, y1)
+    v11 = _gather_corners_2d(img, x1, y1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _gather_corners_3d(vol, ix, iy, iz):
+    """vol: (D, H, W, C); indices (N,) int32."""
+    D, H, W, _ = vol.shape
+    ixc = jnp.clip(ix, 0, W - 1)
+    iyc = jnp.clip(iy, 0, H - 1)
+    izc = jnp.clip(iz, 0, D - 1)
+    flat = vol.reshape(D * H * W, -1)
+    vals = jnp.take(flat, (izc * H + iyc) * W + ixc, axis=0)
+    ok = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H) & (iz >= 0) & (iz < D)
+    return vals * ok[:, None].astype(vals.dtype)
+
+
+def grid_sample_3d(vol: jnp.ndarray, coords: jnp.ndarray,
+                   align_corners: bool = True) -> jnp.ndarray:
+    """Trilinear sample with zeros padding.
+
+    vol: (D, H, W, C); coords: (N, 3) normalized (x, y, z) where x indexes W,
+    y indexes H, z indexes D (torch grid_sample 5D convention).
+    Returns (N, C).
+    """
+    x = _unnormalize(coords[:, 0], vol.shape[2], align_corners)
+    y = _unnormalize(coords[:, 1], vol.shape[1], align_corners)
+    z = _unnormalize(coords[:, 2], vol.shape[0], align_corners)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    x1, y1, z1 = x0 + 1, y0 + 1, z0 + 1
+    wx = (x - x0.astype(x.dtype))[:, None]
+    wy = (y - y0.astype(y.dtype))[:, None]
+    wz = (z - z0.astype(z.dtype))[:, None]
+
+    def corner(ix, iy, iz):
+        return _gather_corners_3d(vol, ix, iy, iz)
+
+    c000 = corner(x0, y0, z0)
+    c001 = corner(x1, y0, z0)
+    c010 = corner(x0, y1, z0)
+    c011 = corner(x1, y1, z0)
+    c100 = corner(x0, y0, z1)
+    c101 = corner(x1, y0, z1)
+    c110 = corner(x0, y1, z1)
+    c111 = corner(x1, y1, z1)
+
+    f0 = (c000 * (1 - wx) + c001 * wx) * (1 - wy) + (c010 * (1 - wx) + c011 * wx) * wy
+    f1 = (c100 * (1 - wx) + c101 * wx) * (1 - wy) + (c110 * (1 - wx) + c111 * wx) * wy
+    return f0 * (1 - wz) + f1 * wz

@@ -1,0 +1,51 @@
+"""Nearest-SMPL-vertex queries (K=1).
+
+Replaces pytorch3d ``knn_points`` (reference renderer.py:315, 564, 627).
+A brute-force distance scan over the 6,890 vertices, phrased as a
+matmul-shaped reduction:  d2(i,j) = |q_i|^2 - 2 q_i.v_j + |v_j|^2, argmin_j.
+
+``nn_1_ref`` is the chunked jnp implementation (XLA fuses the broadcast into
+the argmin reduction, so the (chunk, V) intermediate stays on-chip).
+``nn_1`` is the dispatch point; a Pallas kernel with a running argmin over
+vertex tiles plugs in here when profiling shows XLA leaving throughput on
+the table.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _nn_chunk(q: jnp.ndarray, ref: jnp.ndarray, ref_sq: jnp.ndarray):
+    """q: (C, 3); ref: (3, V); ref_sq: (V,).  Returns (d2 (C,), idx (C,))."""
+    qv = jnp.dot(q, ref, preferred_element_type=jnp.float32)  # (C, V)
+    d2 = ref_sq[None, :] - 2.0 * qv
+    idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+    q_sq = jnp.sum(q * q, axis=-1)
+    return best + q_sq, idx
+
+
+def nn_1_ref(query: jnp.ndarray, ref: jnp.ndarray, chunk: int = 8192):
+    """query: (N, 3); ref: (V, 3).  Returns (dist_sq (N,), idx (N,)) of the
+    nearest reference point for every query.  N is padded internally to a
+    multiple of ``chunk`` and processed with lax.map to bound memory."""
+    n = query.shape[0]
+    if n <= chunk:
+        return _nn_chunk(query.astype(jnp.float32), ref.T.astype(jnp.float32),
+                         jnp.sum(ref.astype(jnp.float32) ** 2, axis=-1))
+    pad = (-n) % chunk
+    q = jnp.pad(query.astype(jnp.float32), ((0, pad), (0, 0)))
+    q = q.reshape(-1, chunk, 3)
+    ref_t = ref.T.astype(jnp.float32)
+    ref_sq = jnp.sum(ref.astype(jnp.float32) ** 2, axis=-1)
+    d2, idx = lax.map(functools.partial(_nn_chunk, ref=ref_t, ref_sq=ref_sq), q)
+    return d2.reshape(-1)[:n], idx.reshape(-1)[:n]
+
+
+# Dispatch point — swap in the Pallas kernel here once it wins on hardware.
+nn_1 = nn_1_ref
