@@ -1,0 +1,24 @@
+"""NeRF positional encoding (reference renderer.PositionalEncoding,
+renderer.py:875-916).
+
+Output layout matches the reference exactly:
+  [x, sin(f0*x), cos(f0*x), sin(f1*x), cos(f1*x), ...]
+where each sin/cos block covers all input dims and f_k = 2^k
+(freqs = 2^linspace(0, num_freqs-1)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def positional_encoding(x: jnp.ndarray, num_freqs: int,
+                        include_input: bool = True) -> jnp.ndarray:
+    """x: (..., d) -> (..., d * 2 * num_freqs [+ d])."""
+    freqs = 2.0 ** np.linspace(0.0, num_freqs - 1, num_freqs)
+    parts = [x] if include_input else []
+    for f in freqs:
+        parts.append(jnp.sin(x * f))
+        parts.append(jnp.cos(x * f))
+    return jnp.concatenate(parts, axis=-1)
