@@ -1,0 +1,83 @@
+"""Benchmark: 512x512 single-image human NeRF rendering on one chip.
+
+Prints ONE JSON line: frames/sec for the flagship SHERF forward at the
+production configuration (512x512 rays, 48 stratified samples/ray, full
+hierarchical feature bank + transformer fusion + NeRF decoder — the shipped
+eval config of the reference, train.py:349-350 + eval_*.sh flags).
+
+vs_baseline is measured against the A100 PyTorch reference estimate recorded
+in BASELINE.md (no published numbers exist in the reference repo; see the
+"Measured baselines" section there for how the denominator was set).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_FPS_BASELINE = 0.5  # A100 torch reference estimate (BASELINE.md)
+
+
+def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 8.0):
+    import jax
+    import jax.numpy as jnp
+
+    from sherf_tpu.core.config import ModelConfig, RenderConfig
+    from sherf_tpu.data import make_synthetic_batch
+    from sherf_tpu.features.sparseconv import prepare_voxel_volume
+    from sherf_tpu.models import SHERFGenerator
+    from sherf_tpu.smpl import synthetic_smpl, smpl_forward, big_pose_params
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    smpl = synthetic_smpl(0)
+    bp = big_pose_params()
+    t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
+                                      jnp.asarray(bp["shapes"]))[0])
+    _, out_sh = prepare_voxel_volume(t_verts)
+    cfg = ModelConfig(render=RenderConfig(
+        depth_resolution=depth, point_capacity_frac=capacity_frac,
+        density_noise=0.0))
+    model = SHERFGenerator(cfg, out_sh=out_sh)
+    batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
+
+    # init on tiny shapes — the param structure is resolution-independent
+    t0 = time.perf_counter()
+    small_cfg = ModelConfig(render=RenderConfig(depth_resolution=4,
+                                                density_noise=0.0))
+    small = SHERFGenerator(small_cfg, out_sh=out_sh)
+    tiny = make_synthetic_batch(smpl, batch_size=1, H=8, W=8, seed=0)
+    variables = jax.jit(lambda b: small.init(jax.random.PRNGKey(0), b, smpl))(tiny)
+    print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    fwd = jax.jit(lambda v, b: model.apply(v, b, smpl)["image_raw"])
+    t0 = time.perf_counter()
+    out = fwd(variables, batch)
+    out.block_until_ready()
+    print(f"compile+first render: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    assert bool(jnp.isfinite(out).all()), "non-finite render output"
+
+    # warm
+    fwd(variables, batch).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, batch)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    fps = 1.0 / dt
+    rays_per_sec = H * W * fps
+    print(f"render: {dt * 1e3:.1f} ms/frame  ({rays_per_sec / 1e6:.2f}M rays/s, "
+          f"{rays_per_sec * depth / 1e9:.2f}G samples/s)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"render_fps_{H}x{W}",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / REFERENCE_FPS_BASELINE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

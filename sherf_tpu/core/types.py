@@ -41,3 +41,34 @@ class Rays:
     near: jnp.ndarray        # (..., N)
     far: jnp.ndarray         # (..., N)
     mask_at_box: jnp.ndarray  # (..., N) bool — ray intersects the body AABB
+
+
+@struct.dataclass
+class SHERFBatch:
+    """One device batch — the typed equivalent of the reference datasets'
+    ``ret`` dict (THuman_dataset.py:399-428).  Images are NHWC in [0, 1];
+    rays are flattened H*W.  All leading dims are the batch B."""
+
+    # canonical (big-pose, mean-shape) space
+    t_pose: SMPLPose          # broadcast per sample
+    t_vertices: jnp.ndarray   # (B, 6890, 3)
+    t_bounds: jnp.ndarray     # (B, 2, 3) world bounds incl. z padding
+
+    # target view
+    pose: SMPLPose
+    vertices: jnp.ndarray     # (B, 6890, 3) posed world vertices
+    img: jnp.ndarray          # (B, H, W, 3) target image
+    ray_o: jnp.ndarray        # (B, N, 3)
+    ray_d: jnp.ndarray        # (B, N, 3)
+    near: jnp.ndarray         # (B, N)
+    far: jnp.ndarray          # (B, N)
+    mask_at_box: jnp.ndarray  # (B, N) bool
+    bkgd_msk: jnp.ndarray     # (B, N) float foreground mask
+
+    # observation view
+    obs_pose: SMPLPose
+    obs_vertices: jnp.ndarray  # (B, 6890, 3)
+    obs_img: jnp.ndarray       # (B, Ho, Wo, 3)
+    obs_K: jnp.ndarray         # (B, 3, 3)
+    obs_R: jnp.ndarray         # (B, 3, 3)
+    obs_T: jnp.ndarray         # (B, 3, 1)

@@ -1,0 +1,122 @@
+"""Synthetic SHERF batches for tests and benchmarks.
+
+Builds fully-consistent SHERFBatch pytrees from a (synthetic or real) SMPL
+model without any dataset on disk: random poses, look-at cameras, rays with
+body-AABB near/far, and a rendered-vertex-splat observation image.  Mirrors
+the per-item pipeline of the reference datasets (e.g. THuman_dataset
+__getitem__:259-430) shape-for-shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from sherf_tpu.core.types import SMPLPose, SHERFBatch
+from sherf_tpu.geometry.rays import get_rays_np, near_far_aabb_np
+from sherf_tpu.smpl.lbs import big_pose_params, smpl_forward
+from sherf_tpu.smpl.model import SMPLModel
+
+
+def synthetic_camera(H: int, W: int, rng: np.random.RandomState,
+                     distance: float = 3.0):
+    """A camera at ``distance`` meters looking at the origin from a random
+    direction (mild elevation)."""
+    theta = rng.uniform(0, 2 * np.pi)
+    phi = rng.uniform(-0.3, 0.3)
+    cam_pos = distance * np.array([
+        np.cos(phi) * np.sin(theta), np.sin(phi), np.cos(phi) * np.cos(theta),
+    ], dtype=np.float32)
+    fwd = -cam_pos / np.linalg.norm(cam_pos)
+    up = np.array([0, 1, 0], dtype=np.float32)
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd]).astype(np.float32)  # world -> cam
+    T = (-R @ cam_pos).reshape(3, 1).astype(np.float32)
+    f = 0.9 * max(H, W)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], dtype=np.float32)
+    return K, R, T
+
+
+def _splat_image(H, W, K, R, T, verts, rng):
+    """Cheap observation 'photo': vertices splatted with smooth colors."""
+    img = np.zeros((H, W, 3), np.float32)
+    cam = verts @ R.T + T[:, 0]
+    pix = cam @ K.T
+    xy = (pix[:, :2] / np.maximum(pix[:, 2:], 1e-5)).astype(np.int32)
+    ok = (xy[:, 0] >= 0) & (xy[:, 0] < W) & (xy[:, 1] >= 0) & (xy[:, 1] < H)
+    colors = 0.5 + 0.5 * np.sin(verts * 7.0 + rng.rand(3))
+    img[xy[ok, 1], xy[ok, 0]] = colors[ok].astype(np.float32)
+    return img
+
+
+def make_synthetic_batch(smpl: SMPLModel, batch_size: int = 1, H: int = 32,
+                         W: int = 32, seed: int = 0,
+                         pose_scale: float = 0.25) -> SHERFBatch:
+    rng = np.random.RandomState(seed)
+    bp = big_pose_params()
+    t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
+                                      jnp.asarray(bp["shapes"]))[0])
+    t_min = t_verts.min(0) - 0.05
+    t_max = t_verts.max(0) + 0.05
+    t_min[2] -= 0.1
+    t_max[2] += 0.1
+    t_bounds = np.stack([t_min, t_max])
+
+    items = []
+    for b in range(batch_size):
+        pose = (rng.randn(72) * pose_scale).astype(np.float32)
+        pose[:3] = 0
+        shape = (rng.randn(10) * 0.3).astype(np.float32)
+        R_g = np.eye(3, dtype=np.float32)
+        Th = rng.randn(3).astype(np.float32) * 0.05
+
+        v_smpl = np.asarray(smpl_forward(smpl, jnp.asarray(pose), jnp.asarray(shape))[0])
+        verts = v_smpl @ np.linalg.inv(R_g) + Th  # world verts (dataset convention)
+
+        wb = np.stack([verts.min(0) - 0.05, verts.max(0) + 0.05])
+        K, Rc, Tc = synthetic_camera(H, W, rng)
+        ray_o, ray_d = get_rays_np(H, W, K, Rc, Tc)
+        ray_o = ray_o.reshape(-1, 3)
+        ray_d = ray_d.reshape(-1, 3)
+        near, far, mask = near_far_aabb_np(wb, ray_o, ray_d)
+
+        # observation: same body, different camera (novel-view protocol)
+        oK, oR, oT = synthetic_camera(H, W, rng)
+        obs_img = _splat_image(H, W, oK, oR, oT, verts, rng)
+        tgt_img = _splat_image(H, W, K, Rc, Tc, verts, rng)
+
+        items.append(dict(
+            pose=pose, shape=shape, R=R_g, Th=Th, verts=verts,
+            ray_o=ray_o, ray_d=ray_d, near=near, far=far, mask=mask,
+            img=tgt_img, obs_img=obs_img, oK=oK, oR=oR, oT=oT,
+        ))
+
+    st = lambda k: jnp.asarray(np.stack([it[k] for it in items]))
+    B = batch_size
+    t_pose = SMPLPose(
+        poses=jnp.tile(jnp.asarray(bp["poses"])[None], (B, 1)),
+        shapes=jnp.tile(jnp.asarray(bp["shapes"])[None], (B, 1)),
+        R=jnp.tile(jnp.asarray(bp["R"])[None], (B, 1, 1)),
+        Th=jnp.tile(jnp.asarray(bp["Th"])[None], (B, 1)),
+    )
+    pose = SMPLPose(poses=st("pose"), shapes=st("shape"), R=st("R"), Th=st("Th"))
+    return SHERFBatch(
+        t_pose=t_pose,
+        t_vertices=jnp.tile(jnp.asarray(t_verts)[None], (B, 1, 1)),
+        t_bounds=jnp.tile(jnp.asarray(t_bounds)[None], (B, 1, 1)),
+        pose=pose,
+        vertices=st("verts"),
+        img=st("img"),
+        ray_o=st("ray_o"), ray_d=st("ray_d"),
+        near=st("near"), far=st("far"),
+        mask_at_box=st("mask"),
+        bkgd_msk=st("mask").astype(jnp.float32),
+        obs_pose=pose,  # same pose, different view
+        obs_vertices=st("verts"),
+        obs_img=st("obs_img"),
+        obs_K=st("oK"), obs_R=st("oR"), obs_T=st("oT"),
+    )

@@ -26,7 +26,11 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+        # frozen-BN semantics: running stats are never updated inside the
+        # jitted train step (affine params still train); stats come from
+        # init or checkpoint import
+        del train
+        norm = lambda name: nn.BatchNorm(use_running_average=True,
                                          momentum=0.9, epsilon=1e-5,
                                          dtype=self.dtype, name=name)
         y = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride),
@@ -59,7 +63,7 @@ class ResNet18(nn.Module):
         """
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=True, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         if not extract_feature:

@@ -189,14 +189,13 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((C,)))
 
         if train:
+            # batch statistics, no running-average writes: the step stays a
+            # pure function (running stats are refreshed by an explicit
+            # calibration pass / checkpoint import instead)
             m = mask.astype(x.dtype)[:, None]
             cnt = jnp.maximum(jnp.sum(m), 1.0)
             mean = jnp.sum(x * m, axis=0) / cnt
             var = jnp.sum(jnp.square(x - mean) * m, axis=0) / cnt
-            if not self.is_initializing():
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)

@@ -61,6 +61,38 @@ class EqualDense(nn.Module):
         return bias_act(y, b, act=self.activation)
 
 
+class EqualConv2d(nn.Module):
+    """Conv2dLayer (networks_stylegan2.py:135-188): equalized-lr conv with
+    optional FIR up/down-sampling and fused bias+activation."""
+
+    out_channels: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    activation: str = "linear"
+    up: int = 1
+    down: int = 1
+    conv_clamp: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, gain: float = 1.0) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        w = self.param("weight", nn.initializers.normal(1.0),
+                       (self.kernel_size, self.kernel_size, in_channels,
+                        self.out_channels))
+        weight_gain = 1.0 / np.sqrt(in_channels * self.kernel_size ** 2)
+        x = conv2d_resample(x, (w * weight_gain).astype(x.dtype),
+                            f=DEFAULT_FILTER, up=self.up, down=self.down,
+                            padding=self.kernel_size // 2,
+                            flip_weight=(self.up == 1))
+        b = None
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.out_channels,)).astype(x.dtype)
+        act_gain = ACTIVATIONS[self.activation]["def_gain"] * gain
+        clamp = self.conv_clamp * gain if self.conv_clamp is not None else None
+        return bias_act(x, b, act=self.activation, gain=act_gain, clamp=clamp)
+
+
 def modulated_conv2d(x: jnp.ndarray, weight: jnp.ndarray, styles: jnp.ndarray,
                      noise: Optional[jnp.ndarray] = None, up: int = 1, down: int = 1,
                      padding: int = 0, resample_filter: Optional[np.ndarray] = None,

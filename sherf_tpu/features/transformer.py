@@ -18,20 +18,37 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (..., n, dim)."""
+        """x: (..., n, dim) with a SMALL static token count n (3 planes).
+
+        The token/head axes are unrolled in Python so every array stays
+        (..., heads*dim_head)-shaped: with millions of points in the batch
+        dims, materializing (..., h, n, n) attention tensors would be padded
+        ~50x by TPU (8,128) tiling.  Unrolled, everything is VPU-friendly.
+        """
+        n = x.shape[-2]
         inner = self.heads * self.dim_head
         qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = self.dim_head ** -0.5
 
-        def heads(t):  # (..., n, inner) -> (..., h, n, d)
-            t = t.reshape(*t.shape[:-1], self.heads, self.dim_head)
-            return jnp.swapaxes(t, -2, -3)
+        def split_heads(t):  # (..., inner) -> (..., h, d)
+            return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
 
-        q, k, v = heads(q), heads(k), heads(v)
-        attn = jnp.einsum("...hid,...hjd->...hij", q, k) * (self.dim_head ** -0.5)
-        attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("...hij,...hjd->...hid", attn, v)
-        out = jnp.swapaxes(out, -2, -3).reshape(*x.shape[:-1], inner)
+        q = [split_heads(qkv[..., i, :inner]) for i in range(n)]
+        k = [split_heads(qkv[..., i, inner: 2 * inner]) for i in range(n)]
+        v = [split_heads(qkv[..., i, 2 * inner:]) for i in range(n)]
+
+        outs = []
+        for i in range(n):
+            # logits over the n tokens: each is (..., h)
+            logits = [jnp.sum(q[i] * k[j], axis=-1) * scale for j in range(n)]
+            m = logits[0]
+            for l in logits[1:]:
+                m = jnp.maximum(m, l)
+            exps = [jnp.exp(l - m) for l in logits]
+            denom = sum(exps)
+            o = sum((e / denom)[..., None] * v[j] for j, e in enumerate(exps))
+            outs.append(o.reshape(*o.shape[:-2], inner))
+        out = jnp.stack(outs, axis=-2)  # (..., n, inner)
         if self.heads == 1 and self.dim_head == self.dim:
             return out
         return nn.Dense(self.dim, name="to_out")(out)

@@ -1,0 +1,273 @@
+"""The SHERF volumetric renderer — the hot path.
+
+TPU-first re-design of the reference ImportanceRenderer.forward
+(renderer.py:286-437):
+
+  stratified depths -> sample points -> KNN prune vs posed SMPL verts ->
+  static-capacity point compaction -> inverse-LBS warp to canonical ->
+  hierarchical feature bank (triplane + pixel-aligned 2D + sparse-voxel 3D)
+  -> transformer fusion -> NeRF decoder -> scatter back -> alpha compositing.
+
+Key differences from the CUDA/torch reference, chosen for XLA:
+  * no boolean indexing anywhere — pruning keeps static shapes via a
+    cumsum-compaction to a fixed point budget (cfg.render.point_capacity_frac);
+    with frac == 1.0 every sample is computed and masked, which is the
+    bit-parity mode (pruned points get density -80, renderer.py:368);
+  * the prune KNN and the target2c blend-weight KNN are one fused query
+    (the reference runs knn_points twice on identical inputs,
+    renderer.py:315 + :564);
+  * per-frame bone transforms / blendshape tables are computed once
+    (PoseContext) instead of per warp call.
+
+All inputs are batched (leading B); pure geometry is vmapped, parameterized
+submodules are batch-agnostic or lifted with nn.vmap.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sherf_tpu.core.config import ModelConfig
+from sherf_tpu.core.types import SMPLPose
+from sherf_tpu.features.encoding import positional_encoding
+from sherf_tpu.features.sparseconv import SparseConvNet, world_to_voxel_f
+from sherf_tpu.features.transformer import PlaneTransformer
+from sherf_tpu.geometry.rays import project_points
+from sherf_tpu.kernels.grid_sample import grid_sample_2d
+from sherf_tpu.kernels.knn import nn_1
+from sherf_tpu.nerf.decoders import NeRFDecoder, OSGDecoder
+from sherf_tpu.nerf.march import ray_march
+from sherf_tpu.nerf.warp import (
+    PoseContext, deform_target2c, deform_c2source,
+)
+from sherf_tpu.smpl.model import SMPLModel
+
+
+def sample_from_planes(planes: jnp.ndarray, pts_norm: jnp.ndarray) -> jnp.ndarray:
+    """Triplane lookup (reference sample_from_planes/project_onto_planes,
+    renderer.py:218-243, with the SHERF-fixed plane axes of
+    generate_planes:192-216: xy / xz / zy).
+
+    planes: (3, H, W, C); pts_norm: (M, 3) in [-1, 1].  Returns (3, M, C).
+    """
+    uv0 = pts_norm[:, (0, 1)]
+    uv1 = pts_norm[:, (0, 2)]
+    uv2 = pts_norm[:, (2, 1)]
+    return jnp.stack([
+        grid_sample_2d(planes[0], uv0, align_corners=False),
+        grid_sample_2d(planes[1], uv1, align_corners=False),
+        grid_sample_2d(planes[2], uv2, align_corners=False),
+    ])
+
+
+def _compact_indices(mask: jnp.ndarray, cap: int):
+    """Stable compaction: indices of the first ``cap`` True entries.
+
+    Returns (idx (cap,) int32 — garbage-free gather indices (clipped),
+    valid (cap,) bool)."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask) - 1  # position of each True among Trues
+    slot = jnp.where(mask & (pos < cap), pos, cap)
+    idx = jnp.full((cap,), n, jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    valid = idx < n
+    # idx == n for empty slots: gathers must clip it, scatters with
+    # mode="drop" discard it
+    return idx, valid
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class SHERFRenderer(nn.Module):
+    """Feature fusion + decoding + compositing (reference ImportanceRenderer
+    renderer.py:260-437 and run_model:400-437)."""
+
+    cfg: ModelConfig
+    out_sh: Tuple[int, int, int] = (128, 352, 416)
+
+    def setup(self):
+        if self.cfg.use_3d_feature:
+            self.encoder_3d = nn.vmap(
+                SparseConvNet,
+                in_axes=(0, 0, 0), out_axes=0,
+                variable_axes={"params": None, "batch_stats": None},
+                split_rngs={"params": False},
+            )(num_layers=self.cfg.sparse_conv_layers, out_sh=self.out_sh,
+              name="encoder_3d")
+            # 192 -> 96 (renderer.py:271)
+            self.conv1d_projection = nn.Dense(96, name="conv1d_projection")
+        n_banks = int(self.cfg.use_1d_feature) + int(self.cfg.use_2d_feature) \
+            + int(self.cfg.use_3d_feature)
+        if n_banks > 1:
+            # 96 (or 64) -> 32 fusion (renderer.py:272-275)
+            self.conv1d_reprojection = nn.Dense(32, name="conv1d_reprojection")
+        if self.cfg.use_trans:
+            self.transformer = PlaneTransformer(dim=self.cfg.plane_channels,
+                                                name="transformer")
+        if self.cfg.use_nerf_decoder:
+            self.decoder = NeRFDecoder(name="decoder")
+        else:
+            self.decoder = OSGDecoder(name="decoder")
+
+    def __call__(self,
+                 planes: Optional[jnp.ndarray],      # (B, 3, Hp, Wp, C)
+                 obs_img: jnp.ndarray,               # (B, H, W, 3)
+                 obs_feat: Optional[jnp.ndarray],    # (B, Hf, Wf, 64)
+                 vol_feats: Optional[jnp.ndarray],   # (B, S, 32)
+                 vol_coords: Optional[jnp.ndarray],  # (B, S, 3) int
+                 min_dhw: jnp.ndarray,               # (B, 3)
+                 ray_o: jnp.ndarray, ray_d: jnp.ndarray,   # (B, N, 3)
+                 near: jnp.ndarray, far: jnp.ndarray,      # (B, N)
+                 ctx_target: PoseContext, ctx_big: PoseContext,
+                 ctx_obs: PoseContext,               # batched contexts
+                 vertices: jnp.ndarray,              # (B, 6890, 3) posed world
+                 t_vertices: jnp.ndarray,            # (B, 6890, 3) canonical
+                 t_bounds: jnp.ndarray,              # (B, 2, 3)
+                 obs_K: jnp.ndarray, obs_R: jnp.ndarray,   # (B, 3, 3)
+                 obs_T: jnp.ndarray,                 # (B, 3, 1)
+                 smpl: SMPLModel,
+                 train: bool = False):
+        cfg = self.cfg
+        rc = cfg.render
+        B, N = ray_o.shape[:2]
+        D = rc.depth_resolution
+
+        # ---- stratified depths (renderer.py:299, jitter disabled upstream)
+        steps = jnp.linspace(0.0, 1.0, D)
+        depths = near[..., None] + (far - near)[..., None] * steps  # (B, N, D)
+
+        pts = ray_o[:, :, None] + depths[..., None] * ray_d[:, :, None]
+        pts = pts.reshape(B, N * D, 3)
+        dirs = jnp.broadcast_to(ray_d[:, :, None], (B, N, D, 3)).reshape(B, N * D, 3)
+
+        # ---- world -> target SMPL frame (renderer.py:307-314)
+        q = jnp.einsum("bnc,bcd->bnd", pts - ctx_target.Th[:, None], ctx_target.R)
+        qd = jnp.einsum("bnc,bcd->bnd", dirs, ctx_target.R)
+        tar_smpl = jnp.einsum("bvc,bcd->bvd",
+                              vertices - ctx_target.Th[:, None], ctx_target.R)
+
+        # ---- fused prune + blend-weight KNN (renderer.py:315-321 + :564)
+        d2, vid = jax.vmap(nn_1)(q, tar_smpl)
+        pts_mask = d2 < rc.prune_threshold_sq  # (B, N*D)
+
+        # ---- static-capacity compaction
+        M = N * D
+        if rc.point_capacity_frac < 1.0:
+            cap = _round_up(max(int(M * rc.point_capacity_frac), 128), 128)
+            idx, valid = jax.vmap(lambda m: _compact_indices(m, cap))(pts_mask)
+            gidx = jnp.minimum(idx, M - 1)
+            take = lambda x: jnp.take_along_axis(x, gidx[..., None], axis=1)
+            q_s, qd_s, = take(q), take(qd)
+            vid_s = jnp.take_along_axis(vid, gidx, axis=1)
+        else:
+            cap = M
+            idx, valid = None, jnp.ones((B, M), bool)
+            q_s, qd_s, vid_s = q, qd, vid
+
+        # ---- warp to canonical (renderer.py:323)
+        can, can_dir = jax.vmap(
+            lambda ct, cb, v, qq, qq_d: deform_target2c(smpl, ct, cb, v, qq, qq_d)
+        )(ctx_target, ctx_big, vid_s, q_s, qd_s)
+
+        # ---- pixel-aligned 2D features (renderer.py:325-343)
+        if cfg.use_2d_feature:
+            _, vid2 = jax.vmap(nn_1)(can, t_vertices)
+            _, world_src, _ = jax.vmap(
+                lambda cs, cb, v, qq: deform_c2source(smpl, cs, cb, v, qq)
+            )(ctx_obs, ctx_big, vid2, can)
+            uv, _ = jax.vmap(project_points)(world_src, obs_K, obs_R, obs_T)
+            wh = jnp.asarray([obs_img.shape[2], obs_img.shape[1]], jnp.float32)
+            uv_n = 2.0 * uv / wh - 1.0
+            pix_feat = jax.vmap(
+                lambda im, c: grid_sample_2d(im, c, align_corners=True)
+            )(obs_feat, uv_n)
+            pix_rgb = jax.vmap(
+                lambda im, c: grid_sample_2d(im, c, align_corners=True)
+            )(obs_img, uv_n)
+            rgb_feat = positional_encoding(pix_rgb, 5)[..., :32]  # 33 -> 32 quirk
+            p2d = jnp.concatenate([pix_feat, rgb_feat], axis=-1)  # (B, cap, 96)
+        else:
+            vid2 = None
+            p2d = None
+
+        # ---- sparse-voxel 3D features (renderer.py:345-350)
+        if cfg.use_3d_feature:
+            qdhw = jax.vmap(
+                lambda c, m: world_to_voxel_f(c, m, cfg.voxel_size)
+            )(can, min_dhw)
+            f3 = self.encoder_3d(vol_feats, vol_coords, qdhw)  # (B, cap, 192)
+            p3d = self.conv1d_projection(f3)  # (B, cap, 96)
+        else:
+            p3d = None
+
+        # ---- triplane features (renderer.py:402, sample_from_planes)
+        if cfg.use_1d_feature:
+            lo = t_bounds[:, 0][:, None]
+            hi = t_bounds[:, 1][:, None]
+            norm = 2.0 * (can - lo) / (hi - lo) - 1.0
+            f1d = jax.vmap(sample_from_planes)(planes, norm)  # (B, 3, cap, C)
+        else:
+            f1d = None
+
+        # ---- fusion (renderer.py:405-427): 96 -> 3 plane tokens of 32
+        def to_tokens(f96):  # (B, cap, 96) -> (B, 3, cap, 32)
+            return jnp.moveaxis(f96.reshape(B, -1, 3, 32), 2, 1)
+
+        banks = []
+        if f1d is not None:
+            banks.append(f1d)
+        if p2d is not None:
+            banks.append(to_tokens(p2d))
+        if p3d is not None:
+            banks.append(to_tokens(p3d))
+        fused = jnp.concatenate(banks, axis=-1)  # (B, 3, cap, 32*n_banks)
+        if len(banks) > 1:
+            fused = self.conv1d_reprojection(fused)  # (B, 3, cap, 32)
+
+        if cfg.use_trans:
+            tok = jnp.moveaxis(fused, 1, 2)          # (B, cap, 3, 32)
+            tok = self.transformer(tok)
+            fused = jnp.moveaxis(tok, 2, 1)
+
+        # ---- decoder (renderer.py:429-432)
+        sf = jnp.moveaxis(fused, 1, 0)               # (3, B, cap, 32)
+        if cfg.use_nerf_decoder:
+            out = self.decoder(positional_encoding(can, 6), sf,
+                               positional_encoding(can_dir, 4))
+        else:
+            out = self.decoder(sf, can_dir)
+        rgb_pts = out["rgb"]                          # (B, cap, 3)
+        sigma_pts = out["sigma"][..., 0]              # (B, cap)
+
+        if train and rc.density_noise > 0:
+            noise = jax.random.normal(self.make_rng("density"), sigma_pts.shape)
+            sigma_pts = sigma_pts + noise * rc.density_noise
+
+        # ---- scatter back with -80 density outside the body (renderer.py:364-371)
+        if idx is not None:
+            ok = valid & jnp.take_along_axis(pts_mask, jnp.minimum(idx, M - 1), axis=1)
+            colors = jnp.zeros((B, M, 3)).at[
+                jnp.arange(B)[:, None], idx].set(rgb_pts * ok[..., None], mode="drop")
+            dens = jnp.full((B, M), -80.0).at[
+                jnp.arange(B)[:, None], idx].set(
+                jnp.where(ok, sigma_pts, -80.0), mode="drop")
+        else:
+            colors = rgb_pts * pts_mask[..., None]
+            dens = jnp.where(pts_mask, sigma_pts, -80.0)
+
+        colors = colors.reshape(B, N, D, 3)
+        dens = dens.reshape(B, N, D)
+        depths_r = depths.reshape(B, N, D)
+
+        rgb, depth, weights = jax.vmap(
+            lambda c, s, t, rd: ray_march(c, s, t, rd, clamp_mode=rc.clamp_mode,
+                                          white_back=rc.white_back)
+        )(colors, dens, depths_r, ray_d)
+        return rgb, depth, jnp.sum(weights, axis=-1)

@@ -1,0 +1,142 @@
+"""SMPL-driven space warps between observation / target / canonical poses.
+
+Re-derivation of the reference's inverse-LBS machinery
+(renderer.coarse_deform_target2c:558-621 and coarse_deform_c2source:623-684)
+as pure functions over a precomputed :class:`PoseContext` — the per-frame
+bone transforms and blendshape offset tables are built ONCE per sample and
+reused by every warp call (the reference recomputes them inside each call).
+
+All functions are single-sample (vmap for batch) and operate on static-shape
+point sets; nearest-vertex ids come in precomputed from the fused KNN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from flax import struct
+import jax.numpy as jnp
+
+from sherf_tpu.core.types import SMPLPose
+from sherf_tpu.smpl.model import SMPLModel
+from sherf_tpu.smpl.lbs import (
+    transform_params, pose_offsets_table, shape_offsets_table,
+)
+
+
+@struct.dataclass
+class PoseContext:
+    """Everything pose-dependent the warps need, computed once per frame."""
+
+    A: jnp.ndarray             # (24, 4, 4) bone transforms (rest -> posed)
+    R: jnp.ndarray             # (3, 3) global rotation
+    Th: jnp.ndarray            # (3,) global translation
+    pose_offsets: jnp.ndarray  # (6890, 3) pose blendshape offsets
+    shape_offsets: jnp.ndarray  # (6890, 3) shape blendshape offsets
+
+
+def make_pose_context(smpl: SMPLModel, pose: SMPLPose) -> PoseContext:
+    poses = pose.poses.reshape(-1)
+    shapes = pose.shapes.reshape(-1)
+    A, _ = transform_params(smpl, poses, shapes)
+    return PoseContext(
+        A=A,
+        R=pose.R.reshape(3, 3),
+        Th=pose.Th.reshape(3),
+        pose_offsets=pose_offsets_table(smpl, poses),
+        shape_offsets=shape_offsets_table(smpl, shapes),
+    )
+
+
+def _inv3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / det) — far cheaper on TPU
+    than an LU factorization for millions of tiny matrices."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack([
+        jnp.stack([A, B, C], -1),
+        jnp.stack([D, E, F], -1),
+        jnp.stack([G, H, I], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
+def _blend_A(weights_table: jnp.ndarray, vid: jnp.ndarray,
+             A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-point blended bone transform: bw = weights[vid] (N, 24);
+    A_pt = bw @ A — one MXU matmul (N,24)x(24,16)."""
+    bw = weights_table[vid]  # (N, 24)
+    A_pt = (bw @ A.reshape(24, 16)).reshape(-1, 4, 4)
+    return A_pt, bw
+
+
+def deform_target2c(smpl: SMPLModel, ctx_pose: PoseContext, ctx_big: PoseContext,
+                    vid: jnp.ndarray, q_pts: jnp.ndarray,
+                    q_dirs: Optional[jnp.ndarray] = None):
+    """SMPL-space posed points -> canonical big-pose space
+    (renderer.py:558-621, mean_shape corrections on).
+
+    q_pts: (N, 3) points in the target's SMPL coordinate frame;
+    vid: (N,) nearest-vertex ids of q_pts against the posed vertices.
+    """
+    A_pt, bw = _blend_A(smpl.weights, vid, ctx_pose.A)
+    can = q_pts - A_pt[:, :3, 3]
+    R_inv = _inv3(A_pt[:, :3, :3])
+    can = jnp.einsum("nab,nb->na", R_inv, can)
+    if q_dirs is not None:
+        q_dirs = jnp.einsum("nab,nb->na", R_inv, q_dirs)
+
+    # pose/shape blendshape corrections -> mean-shape T pose
+    can = can - ctx_pose.pose_offsets[vid] - ctx_pose.shape_offsets[vid]
+    # T pose -> big pose (mean shape)
+    can = can + ctx_big.pose_offsets[vid]
+
+    A_big, _ = _blend_A(smpl.weights, vid, ctx_big.A)
+    can = jnp.einsum("nab,nb->na", A_big[:, :3, :3], can) + A_big[:, :3, 3]
+    if q_dirs is not None:
+        q_dirs = jnp.einsum("nab,nb->na", A_big[:, :3, :3], q_dirs)
+        return can, q_dirs
+    return can
+
+
+def deform_c2source(smpl: SMPLModel, ctx_src: PoseContext, ctx_big: PoseContext,
+                    vid: jnp.ndarray, q_pts: jnp.ndarray,
+                    weights_correction: Optional[jnp.ndarray] = None):
+    """Canonical big-pose points -> source (observation) pose
+    (renderer.py:623-684).
+
+    vid: (N,) nearest-vertex ids of q_pts against the canonical t_vertices.
+    Returns (smpl_src_pts, world_src_pts, bweights).
+    """
+    bw = smpl.weights[vid]
+    if weights_correction is not None:
+        bw = bw + 0.2 * weights_correction
+    bw = bw / jnp.sum(bw, axis=-1, keepdims=True)
+
+    A_big = (bw @ ctx_big.A.reshape(24, 16)).reshape(-1, 4, 4)
+    q = q_pts - A_big[:, :3, 3]
+    q = jnp.einsum("nab,nb->na", _inv3(A_big[:, :3, :3]), q)
+
+    # big pose -> T pose (mean shape), then to the source's shape/pose
+    q = q - ctx_big.pose_offsets[vid]
+    q = q + ctx_src.shape_offsets[vid]
+    q = q + ctx_src.pose_offsets[vid]
+
+    A_src = (bw @ ctx_src.A.reshape(24, 16)).reshape(-1, 4, 4)
+    smpl_src = jnp.einsum("nab,nb->na", A_src[:, :3, :3], q) + A_src[:, :3, 3]
+
+    # SMPL coords -> world (renderer.py:680-682): smpl = (world - Th) @ R,
+    # so world = smpl @ inv(R) + Th
+    world_src = smpl_src @ _inv3(ctx_src.R) + ctx_src.Th
+    return smpl_src, world_src, bw

@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the generator graphs take ~minutes to build
+# on CPU; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/sherf_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

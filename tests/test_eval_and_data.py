@@ -1,0 +1,145 @@
+"""Eval metrics (vs skimage-default formulas), GAN metric math, dataset
+pipeline through an on-disk THuman-format fixture, and the eval protocol
+driver end-to-end on that fixture."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sherf_tpu.eval.metrics import psnr_np, ssim_np
+from sherf_tpu.eval.gan_metrics import (
+    FeatureStats, frechet_distance, kernel_distance,
+)
+from sherf_tpu.smpl import synthetic_smpl, smpl_forward
+
+
+def test_psnr_basic():
+    rng = np.random.RandomState(0)
+    gt = rng.rand(16, 16, 3).astype(np.float32)
+    mask = np.ones((16, 16), bool)
+    assert psnr_np(gt, gt, mask) > 80
+    noisy = np.clip(gt + 0.1, 0, 1)
+    assert 15 < psnr_np(noisy, gt, mask) < 25
+
+
+def test_ssim_np_identity_and_ordering():
+    rng = np.random.RandomState(1)
+    a = rng.rand(32, 32, 3)
+    assert ssim_np(a, a) == pytest.approx(1.0, abs=1e-9)
+    slightly = np.clip(a + rng.randn(32, 32, 3) * 0.02, 0, 1)
+    very = np.clip(a + rng.randn(32, 32, 3) * 0.3, 0, 1)
+    assert ssim_np(a, slightly) > ssim_np(a, very)
+
+
+def test_ssim_np_matches_skimage_if_available():
+    try:
+        from skimage.metrics import structural_similarity
+    except ImportError:
+        pytest.skip("skimage unavailable")
+    rng = np.random.RandomState(2)
+    a = rng.rand(24, 24, 3)
+    b = rng.rand(24, 24, 3)
+    ref = structural_similarity(a, b, channel_axis=-1, data_range=2.0)
+    assert ssim_np(a, b) == pytest.approx(ref, abs=1e-6)
+
+
+def test_fid_zero_for_identical_and_positive_for_shifted():
+    rng = np.random.RandomState(3)
+    f1 = rng.randn(500, 16)
+    s1, s2 = FeatureStats(), FeatureStats()
+    s1.append(f1)
+    s2.append(f1)
+    assert frechet_distance(*s1.get_mean_cov(), *s2.get_mean_cov()) == \
+        pytest.approx(0.0, abs=1e-6)
+    s3 = FeatureStats()
+    s3.append(f1 + 2.0)
+    assert frechet_distance(*s1.get_mean_cov(), *s3.get_mean_cov()) > 1.0
+
+
+def test_kid_ordering():
+    rng = np.random.RandomState(4)
+    f1 = rng.randn(300, 8)
+    f2 = rng.randn(300, 8)
+    f3 = rng.randn(300, 8) + 1.5
+    same = kernel_distance(f1, f2, num_subsets=10, max_subset_size=100)
+    diff = kernel_distance(f1, f3, num_subsets=10, max_subset_size=100)
+    assert diff > same
+
+
+# ---------------------------------------------------------------------------
+# THuman-format fixture -> loader -> collate -> (tiny) eval protocol
+
+
+@pytest.fixture(scope="module")
+def thuman_fixture(tmp_path_factory):
+    import cv2
+    import imageio.v2 as imageio
+
+    from sherf_tpu.data.synthetic import synthetic_camera
+    from sherf_tpu.smpl.lbs import big_pose_params
+
+    root = tmp_path_factory.mktemp("thuman") / "subject00"
+    os.makedirs(root)
+    smpl = synthetic_smpl(0)
+    rng = np.random.RandomState(0)
+
+    n_views, n_poses, H, W = 3, 2, 48, 48
+    cams = {"K": [], "D": [], "R": [], "T": []}
+    for v in range(n_views):
+        K, R, T = synthetic_camera(H, W, rng)
+        cams["K"].append(K.astype(np.float64))
+        cams["D"].append(np.zeros(5))
+        cams["R"].append(R.astype(np.float64))
+        cams["T"].append(T.astype(np.float64))
+
+    os.makedirs(root / "new_vertices")
+    os.makedirs(root / "new_params_neutral")
+    for v in range(n_views):
+        os.makedirs(root / f"view{v}")
+        os.makedirs(root / "mask_cihp" / f"view{v}")
+
+    ims = []
+    for pidx in range(n_poses):
+        pose = (rng.randn(72) * 0.2).astype(np.float32)
+        shape = (rng.randn(10) * 0.2).astype(np.float32)
+        verts = np.asarray(smpl_forward(smpl, jnp.asarray(pose),
+                                        jnp.asarray(shape))[0])
+        np.save(root / "new_vertices" / f"{pidx}.npy", verts)
+        np.save(root / "new_params_neutral" / f"{pidx}.npy",
+                dict(poses=pose.reshape(1, 72), shapes=shape.reshape(1, 10),
+                     R=np.eye(3, dtype=np.float32),
+                     Th=np.zeros((1, 3), np.float32)))
+        row = []
+        for v in range(n_views):
+            # reference layout: per-view dirs, numeric pose-id basenames
+            name = f"view{v}/{pidx}.jpg"
+            img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+            imageio.imwrite(root / name, img)
+            msk = np.zeros((H, W), np.uint8)
+            msk[8:40, 8:40] = 255
+            imageio.imwrite(str(root / "mask_cihp" / name)[:-4] + ".png", msk)
+            row.append(name)
+        ims.append({"ims": row})
+
+    np.save(root / "annots.npy", {"cams": cams, "ims": ims})
+    return str(root), smpl
+
+
+def test_thuman_loader_and_collate(thuman_fixture):
+    root, smpl = thuman_fixture
+    from sherf_tpu.data import THumanDataset, collate
+
+    ds = THumanDataset(root, smpl, split="test", multi_person=False,
+                       num_instance=1, poses_num=2)
+    ds.camera_view_num = 3  # fixture has 3 views
+    ds.obs_view_index = 1
+    item = ds[0]
+    assert item["img"].shape[2] == 3
+    assert item["ray_o"].shape == item["ray_d"].shape
+    assert item["near"].shape == item["far"].shape
+    batch = collate([item, ds[1]])
+    assert batch.img.shape[0] == 2
+    assert batch.obs_K.shape == (2, 3, 3)
