@@ -19,7 +19,7 @@ import numpy as np
 REFERENCE_FPS_BASELINE = 0.5  # A100 torch reference estimate (BASELINE.md)
 
 
-def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 8.0):
+def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 24.0):
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +36,7 @@ def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 8.0):
     t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
                                       jnp.asarray(bp["shapes"]))[0])
     _, out_sh = prepare_voxel_volume(t_verts)
-    cfg = ModelConfig(render=RenderConfig(
+    cfg = ModelConfig(compute_dtype="bfloat16", render=RenderConfig(
         depth_resolution=depth, point_capacity_frac=capacity_frac,
         density_noise=0.0))
     model = SHERFGenerator(cfg, out_sh=out_sh)
@@ -44,7 +44,7 @@ def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 8.0):
 
     # init on tiny shapes — the param structure is resolution-independent
     t0 = time.perf_counter()
-    small_cfg = ModelConfig(render=RenderConfig(depth_resolution=4,
+    small_cfg = ModelConfig(compute_dtype="bfloat16", render=RenderConfig(depth_resolution=4,
                                                 density_noise=0.0))
     small = SHERFGenerator(small_cfg, out_sh=out_sh)
     tiny = make_synthetic_batch(smpl, batch_size=1, H=8, W=8, seed=0)
@@ -58,12 +58,14 @@ def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 8.0):
     print(f"compile+first render: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     assert bool(jnp.isfinite(out).all()), "non-finite render output"
 
-    # warm
-    fwd(variables, batch).block_until_ready()
+    # warm; NOTE: on the axon platform block_until_ready does not actually
+    # block, so every timed iteration forces a host readback (~6 ms,
+    # negligible at frame scale)
+    np.asarray(fwd(variables, batch).ravel()[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(variables, batch)
-    out.block_until_ready()
+        np.asarray(out.ravel()[0])
     dt = (time.perf_counter() - t0) / iters
 
     fps = 1.0 / dt

@@ -50,8 +50,13 @@ def load_reference_pickle(path: str) -> Dict[str, Dict[str, np.ndarray]]:
 # ResNet18 (torchvision layout -> features.resnet.ResNet18)
 
 
-def import_resnet18(sd: Mapping[str, np.ndarray], prefix: str = ""):
-    """Returns (params, batch_stats) for features.resnet.ResNet18."""
+def import_resnet18(sd: Mapping[str, np.ndarray], prefix: str = "",
+                    max_stage: int = 4):
+    """Returns (params, batch_stats) for features.resnet.ResNet18.
+
+    ``max_stage`` limits the imported stages — the feature-extraction
+    encoder only executes conv1/bn1/layer1 (triplane.py:325-335), so its
+    flax params stop there."""
     p = lambda k: sd[prefix + k]
     params: Dict = {}
     stats: Dict = {}
@@ -66,7 +71,7 @@ def import_resnet18(sd: Mapping[str, np.ndarray], prefix: str = ""):
     params["bn1"], stats["bn1"] = {}, {}
     bn(params["bn1"], stats["bn1"], "bn1")
 
-    for i in range(1, 5):
+    for i in range(1, max_stage + 1):
         for b in range(2):
             name = f"layer{i}_{b}"
             src = f"layer{i}.{b}"
@@ -154,3 +159,148 @@ def import_stylegan2_backbone(sd: Mapping[str, np.ndarray], img_resolution: int 
     noise = {"synthesis": noise_c}
     ema = {"mapping": map_ema}
     return params, noise, ema
+
+
+# ---------------------------------------------------------------------------
+# Full SHERF generator (reference TriPlaneGenerator state_dict)
+
+
+def _linear(sd, key):
+    """torch Linear/Conv1d(k=1) (out, in[, 1]) -> flax Dense {kernel, bias}."""
+    w = _np(sd[key + ".weight"])
+    if w.ndim == 3:
+        w = w[..., 0]
+    out = {"kernel": jnp.asarray(w.T)}
+    if key + ".bias" in sd:
+        out["bias"] = jnp.asarray(_np(sd[key + ".bias"]))
+    return out
+
+
+def _layernorm(sd, key):
+    return {"scale": jnp.asarray(_np(sd[key + ".weight"])),
+            "bias": jnp.asarray(_np(sd[key + ".bias"]))}
+
+
+def _spconv_w(sd, key, layout: str = "native"):
+    """spconv SubMConv3d/SparseConv3d weight -> (kd, kh, kw, in, out).
+
+    spconv 2.x 'native' layout is (out, kd, kh, kw, in)."""
+    w = _np(sd[key + ".weight"])
+    if layout == "native":
+        return jnp.asarray(np.transpose(w, (1, 2, 3, 4, 0)))
+    return jnp.asarray(w)  # already (kd, kh, kw, in, out)
+
+
+def _bn1d(sd, key):
+    p = {"scale": jnp.asarray(_np(sd[key + ".weight"])),
+         "bias": jnp.asarray(_np(sd[key + ".bias"]))}
+    s = {"mean": jnp.asarray(_np(sd[key + ".running_mean"])),
+         "var": jnp.asarray(_np(sd[key + ".running_var"]))}
+    return p, s
+
+
+def _sparse_stage(sd, key, n_convs, layout):
+    """double_conv / triple_conv SparseSequential: conv at 3k, BN at 3k+1."""
+    p, s = {}, {}
+    for i in range(n_convs):
+        p[f"conv{i}"] = _spconv_w(sd, f"{key}.{3 * i}", layout)
+        bp, bs = _bn1d(sd, f"{key}.{3 * i + 1}")
+        p[f"bn{i}"] = bp
+        s[f"bn{i}"] = bs
+    return p, s
+
+
+def _sparse_down(sd, key, layout):
+    p, s = {}, {}
+    p["conv"] = _spconv_w(sd, f"{key}.0", layout)
+    bp, bs = _bn1d(sd, f"{key}.1")
+    p["bn"] = bp
+    s["bn"] = bs
+    return p, s
+
+
+def import_sherf_generator(sd: Mapping[str, np.ndarray],
+                           use_nerf_decoder: bool = True,
+                           use_trans: bool = True,
+                           sparse_layers: int = 4,
+                           backbone_resolution: int = 256,
+                           spconv_layout: str = "native"):
+    """Reference TriPlaneGenerator state_dict -> (params, batch_stats,
+    noise, ema) for models.SHERFGenerator.
+
+    NOTE: validated structurally (shape-exact vs SHERFGenerator.init); the
+    released SHERF pickles are not downloadable in this environment, so key
+    naming follows the reference source (triplane.py / renderer.py).
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    params["encoder_2d"], stats["encoder_2d"] = import_resnet18(
+        sd, prefix="encoder_2d.backbone.")
+    params["encoder_2d_feature"], stats["encoder_2d_feature"] = import_resnet18(
+        sd, prefix="encoder_2d_feature.backbone.", max_stage=1)
+    params["conv1d_projection"] = _linear(sd, "conv1d_projection")
+
+    bb_p, bb_noise, bb_ema = import_stylegan2_backbone(
+        sd, img_resolution=backbone_resolution, prefix="backbone.",
+        mapping_layers=2)
+    params["backbone"] = bb_p
+
+    r: Dict = {}
+    rs: Dict = {}
+    r["conv1d_projection"] = _linear(sd, "renderer.conv1d_projection")
+    r["conv1d_reprojection"] = _linear(sd, "renderer.conv1d_reprojection")
+
+    if use_trans:
+        tr = {
+            "attn_norm_0": _layernorm(sd, "renderer.transformer.layers.0.0.fn.norm"),
+            "ff_norm_0": _layernorm(sd, "renderer.transformer.layers.0.1.fn.norm"),
+            "attn_0": {
+                "to_qkv": {"kernel": jnp.asarray(
+                    _np(sd["renderer.transformer.layers.0.0.fn.fn.to_qkv.weight"]).T)},
+                "to_out": _linear(sd, "renderer.transformer.layers.0.0.fn.fn.to_out.0"),
+            },
+            "ff_0": {
+                "fc1": _linear(sd, "renderer.transformer.layers.0.1.fn.fn.net.0"),
+                "fc2": _linear(sd, "renderer.transformer.layers.0.1.fn.fn.net.3"),
+            },
+        }
+        r["transformer"] = tr
+
+    if use_nerf_decoder:
+        dec = {f"pts_{i}": _linear(sd, f"decoder.pts_linears.{i}")
+               for i in range(8)}
+        dec["alpha"] = _linear(sd, "decoder.alpha_linear")
+        dec["feature"] = _linear(sd, "decoder.feature_linear")
+        dec["views"] = _linear(sd, "decoder.views_linear")
+        dec["rgb"] = _linear(sd, "decoder.rgb_linear")
+    else:
+        dec = {
+            "fc0": {"weight": jnp.asarray(_np(sd["decoder.net.0.weight"])),
+                    "bias": jnp.asarray(_np(sd["decoder.net.0.bias"]))},
+            "fc1": {"weight": jnp.asarray(_np(sd["decoder.net.2.weight"])),
+                    "bias": jnp.asarray(_np(sd["decoder.net.2.bias"]))},
+        }
+    r["decoder"] = dec
+
+    e3: Dict = {}
+    e3s: Dict = {}
+    e3["conv0"], e3s["conv0"] = _sparse_stage(sd, "renderer.encoder_3d.conv0", 2, spconv_layout)
+    e3["down0"], e3s["down0"] = _sparse_down(sd, "renderer.encoder_3d.down0", spconv_layout)
+    if sparse_layers > 1:
+        e3["conv1"], e3s["conv1"] = _sparse_stage(sd, "renderer.encoder_3d.conv1", 2, spconv_layout)
+        e3["down1"], e3s["down1"] = _sparse_down(sd, "renderer.encoder_3d.down1", spconv_layout)
+    if sparse_layers > 2:
+        e3["conv2"], e3s["conv2"] = _sparse_stage(sd, "renderer.encoder_3d.conv2", 3, spconv_layout)
+        e3["down2"], e3s["down2"] = _sparse_down(sd, "renderer.encoder_3d.down2", spconv_layout)
+    if sparse_layers > 3:
+        e3["conv3"], e3s["conv3"] = _sparse_stage(sd, "renderer.encoder_3d.conv3", 3, spconv_layout)
+    r["encoder_3d"] = e3
+    rs["encoder_3d"] = e3s
+
+    params["renderer"] = r
+    stats["renderer"] = rs
+
+    noise = {"backbone": bb_noise}
+    ema = {"backbone": bb_ema}
+    return params, stats, noise, ema

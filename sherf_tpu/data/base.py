@@ -59,7 +59,6 @@ def sample_rays_for_image(img, msk, K, R, T, bounds,
         K = np.copy(K)
         K[:2, :3] = K[:2, :3] * image_scaling
 
-    ray_o, ray_d = get_rays_np(H, W, K, R, T)
     pose = np.concatenate([R, T.reshape(3, 1)], axis=1)
     bound_mask = get_bound_2d_mask(bounds, K, pose, H, W)
 
@@ -67,9 +66,17 @@ def sample_rays_for_image(img, msk, K, R, T, bounds,
     img = img.copy()
     img[bound_mask != 1] = 1.0 if white_back else 0.0
 
-    ray_o = ray_o.reshape(-1, 3).astype(np.float32)
-    ray_d = ray_d.reshape(-1, 3).astype(np.float32)
-    near, far, mask_at_box = near_far_aabb_np(bounds, ray_o, ray_d)
+    # native fast path (sherf_tpu/native/host_ops.cpp), numpy fallback
+    from sherf_tpu.native import prepare_rays_native
+
+    native = prepare_rays_native(H, W, K, R, T, bounds)
+    if native is not None:
+        ray_o, ray_d, near, far, mask_at_box = native
+    else:
+        ray_o, ray_d = get_rays_np(H, W, K, R, T)
+        ray_o = ray_o.reshape(-1, 3).astype(np.float32)
+        ray_d = ray_d.reshape(-1, 3).astype(np.float32)
+        near, far, mask_at_box = near_far_aabb_np(bounds, ray_o, ray_d)
     return img, ray_o, ray_d, near, far, mask_at_box, msk
 
 

@@ -155,6 +155,38 @@ def downsample_sites(coords, valid, shape_in, cap: int):
     return new_coords, new_valid, shape_out
 
 
+def trilinear_dense_sample(feats, coords, valid, shape, pos):
+    """Trilinear interpolation via a densified feature grid.
+
+    Numerically identical to :func:`trilinear_site_sample` but one memory
+    hop per corner instead of two: the (S, C) site features are scattered
+    into a dense (D*H*W, C) buffer once (S ~ 7k sites), then each of the 8
+    corners is a single wide-row gather.  The index-grid variant's corner
+    lookups are 4-byte random reads from a multi-million-entry int grid —
+    measured ~3x slower on v5e for ~1M queries.
+
+    feats: (S, C); coords: (S, 3) int; pos: (N, 3) float voxel coords.
+    """
+    size = shape[0] * shape[1] * shape[2]
+    ok = valid & _inbounds(coords, shape)
+    flat = jnp.where(ok, _flat(coords, shape), size)
+    dense = jnp.zeros((size, feats.shape[-1]), feats.dtype).at[flat].set(
+        feats * ok[:, None].astype(feats.dtype), mode="drop")
+
+    p0 = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - p0.astype(pos.dtype)
+    out = 0.0
+    for o in np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
+                      -1).reshape(8, 3):
+        corner = p0 + o
+        inb = _inbounds(corner, shape)
+        cflat = jnp.clip(_flat(corner, shape), 0, size - 1)
+        w = jnp.prod(jnp.where(o[None, :] == 1, frac, 1.0 - frac), axis=-1)
+        w = (w * inb).astype(feats.dtype)
+        out = out + dense[cflat] * w[:, None]
+    return out
+
+
 def trilinear_site_sample(feats, grid, shape, pos):
     """Trilinear interpolation of the sparse volume at float voxel positions
     (zeros at empty voxels — identical to .dense() + grid_sample).
@@ -198,8 +230,8 @@ class MaskedBatchNorm(nn.Module):
             var = jnp.sum(jnp.square(x - mean) * m, axis=0) / cnt
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class SparseStage(nn.Module):
@@ -248,6 +280,7 @@ class SparseConvNet(nn.Module):
     num_layers: int = 4
     out_sh: Tuple[int, int, int] = (128, 352, 416)  # static, dataset-dependent
     caps: Tuple[int, int, int] = (8192, 8192, 8192)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats, coords, query_dhw, valid=None, train: bool = False):
@@ -256,6 +289,7 @@ class SparseConvNet(nn.Module):
         the sample points.  Returns (N, 32+64+96) multi-scale features."""
         if valid is None:
             valid = jnp.ones(feats.shape[0], bool)
+        feats = feats.astype(self.dtype)
         shape = self.out_sh
         grid = build_index_grid(coords, valid, shape)
 
@@ -266,23 +300,23 @@ class SparseConvNet(nn.Module):
         outs = []
         full = np.asarray(self.out_sh, np.float32)
 
-        def readout(f, g, s):
+        def readout(f, c, v, s):
             # reference convention (renderer.py:544-556 + grid_sample
             # align_corners=True): u = dhw/out_sh*2-1 over the scale-s volume
             scale = (np.asarray(s, np.float32) - 1.0) / full
-            return trilinear_site_sample(f, g, s, query_dhw * scale)
+            return trilinear_dense_sample(f, c, v, s, query_dhw * scale)
 
         if self.num_layers > 1:
             feats = SparseStage(32, 2, name="conv1")(feats, coords, grid, shape, valid, train)
-            outs.append(readout(feats, grid, shape))
+            outs.append(readout(feats, coords, valid, shape))
             feats, coords, grid, shape, valid = SparseDown(64, self.caps[1], name="down1")(
                 feats, coords, grid, shape, valid, train)
         if self.num_layers > 2:
             feats = SparseStage(64, 3, name="conv2")(feats, coords, grid, shape, valid, train)
-            outs.append(readout(feats, grid, shape))
+            outs.append(readout(feats, coords, valid, shape))
             feats, coords, grid, shape, valid = SparseDown(96, self.caps[2], name="down2")(
                 feats, coords, grid, shape, valid, train)
         if self.num_layers > 3:
             feats = SparseStage(96, 3, name="conv3")(feats, coords, grid, shape, valid, train)
-            outs.append(readout(feats, grid, shape))
+            outs.append(readout(feats, coords, valid, shape))
         return jnp.concatenate(outs, axis=-1)

@@ -15,6 +15,7 @@ class Attention(nn.Module):
     dim: int = 32
     heads: int = 3
     dim_head: int = 16
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -27,7 +28,7 @@ class Attention(nn.Module):
         """
         n = x.shape[-2]
         inner = self.heads * self.dim_head
-        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         scale = self.dim_head ** -0.5
 
         def split_heads(t):  # (..., inner) -> (..., h, d)
@@ -51,18 +52,19 @@ class Attention(nn.Module):
         out = jnp.stack(outs, axis=-2)  # (..., n, inner)
         if self.heads == 1 and self.dim_head == self.dim:
             return out
-        return nn.Dense(self.dim, name="to_out")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
 
 class FeedForward(nn.Module):
     dim: int = 32
     hidden: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.hidden, name="fc1")(x)
+        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         h = nn.gelu(h)
-        return nn.Dense(self.dim, name="fc2")(h)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
 
 
 class PlaneTransformer(nn.Module):
@@ -74,13 +76,14 @@ class PlaneTransformer(nn.Module):
     heads: int = 3
     dim_head: int = 16
     mlp_dim: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (..., n_tokens, dim)."""
         for i in range(self.depth):
             h = nn.LayerNorm(name=f"attn_norm_{i}")(x)
-            x = x + Attention(self.dim, self.heads, self.dim_head, name=f"attn_{i}")(h)
+            x = x + Attention(self.dim, self.heads, self.dim_head, self.dtype, name=f"attn_{i}")(h)
             h = nn.LayerNorm(name=f"ff_norm_{i}")(x)
-            x = x + FeedForward(self.dim, self.mlp_dim, name=f"ff_{i}")(h)
+            x = x + FeedForward(self.dim, self.mlp_dim, self.dtype, name=f"ff_{i}")(h)
         return x

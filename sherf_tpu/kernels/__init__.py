@@ -10,6 +10,8 @@ from sherf_tpu.kernels.filters import (
 )
 from sherf_tpu.kernels.grid_sample import grid_sample_2d, grid_sample_3d
 from sherf_tpu.kernels.knn import nn_1, nn_1_ref
+from sherf_tpu.kernels.knn_pallas import nn_1_pallas
+from sherf_tpu.kernels.occupancy import occupancy_mask
 
 __all__ = [
     "setup_filter",
@@ -24,4 +26,6 @@ __all__ = [
     "grid_sample_3d",
     "nn_1",
     "nn_1_ref",
+    "nn_1_pallas",
+    "occupancy_mask",
 ]

@@ -1,0 +1,85 @@
+"""Pallas TPU kernel for nearest-SMPL-vertex queries (K=1).
+
+The jnp formulation (knn.py) materializes (chunk, 6890) distance tiles in
+HBM and re-reads them for the argmin — ~40GB of traffic for a 786k-point
+query.  This kernel keeps everything on-chip: per program, a (P, 3) point
+tile meets the full vertex set resident in VMEM; distances are produced a
+(P, VT) tile at a time on the MXU and folded into a running (min, argmin)
+over the lane axis without leaving VMEM.
+
+Grid: one program per tile of P points.  The vertex array is padded to a
+multiple of VT with far-away sentinels so padded columns never win.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+P_TILE = 1024      # points per program (sublanes)
+V_TILE = 2048      # vertices per inner tile (lanes of the distance tile)
+SENTINEL = 1e6     # padded-vertex coordinate
+
+
+def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
+    """q_ref: (P, 3); v_ref: (3, V_pad); dist_ref/idx_ref: (P, 1)."""
+    q = q_ref[:]                                     # (P, 3)
+    best = jnp.full((P_TILE, 1), jnp.inf, jnp.float32)
+    best_i = jnp.zeros((P_TILE, 1), jnp.int32)
+    for t in range(n_vtiles):
+        v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]      # (3, VT)
+        vsq = jnp.sum(v * v, axis=0, keepdims=True)  # (1, VT)
+        qv = jax.lax.dot_general(
+            q, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (P, VT)
+        d2 = vsq - 2.0 * qv                          # |v|^2 - 2 q.v
+        m = jnp.min(d2, axis=1, keepdims=True)       # (P, 1)
+        i = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32) + t * V_TILE
+        upd = m < best
+        best = jnp.where(upd, m, best)
+        best_i = jnp.where(upd, i, best_i)
+    qsq = jnp.sum(q * q, axis=1, keepdims=True)      # (P, 1)
+    dist_ref[:] = best + qsq
+    idx_ref[:] = best_i
+
+
+def nn_1_pallas(query: jnp.ndarray, ref: jnp.ndarray,
+                interpret: bool = False):
+    """query: (N, 3); ref: (V, 3) -> (dist_sq (N,), idx (N,))."""
+    n = query.shape[0]
+    v = ref.shape[0]
+    n_pad = -n % P_TILE
+    v_pad = -v % V_TILE
+    qt = jnp.pad(query.astype(jnp.float32), ((0, n_pad), (0, 0)))     # (N', 3)
+    vt = jnp.pad(ref.astype(jnp.float32), ((0, v_pad), (0, 0)),
+                 constant_values=SENTINEL).T                          # (3, V')
+    n_tiles = qt.shape[0] // P_TILE
+    n_vtiles = vt.shape[1] // V_TILE
+
+    dist, idx = pl.pallas_call(
+        functools.partial(_knn_kernel, n_vtiles=n_vtiles),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((P_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, vt.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((P_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qt, vt)
+    return dist[:n, 0], idx[:n, 0]

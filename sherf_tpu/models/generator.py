@@ -36,15 +36,20 @@ class SHERFGenerator(nn.Module):
     out_sh: Tuple[int, int, int] = (128, 352, 416)
 
     def setup(self):
-        self.encoder_2d = ResNet18(name="encoder_2d")
-        self.encoder_2d_feature = ResNet18(name="encoder_2d_feature")
+        import jax.numpy as jnp
+
+        use_bf16 = self.cfg.compute_dtype == "bfloat16"
+        enc_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        self.encoder_2d = ResNet18(dtype=enc_dtype, name="encoder_2d")
+        self.encoder_2d_feature = ResNet18(dtype=enc_dtype,
+                                           name="encoder_2d_feature")
         self.backbone = StyleGAN2Backbone(
             z_dim=self.cfg.z_dim, w_dim=self.cfg.w_dim,
             img_resolution=self.cfg.backbone_resolution,
             img_channels=self.cfg.n_planes * self.cfg.plane_channels,
             mapping_layers=self.cfg.mapping_layers,
             channel_base=self.cfg.channel_base, channel_max=self.cfg.channel_max,
-            name="backbone")
+            use_bf16=use_bf16, name="backbone")
         # obs vertex feature projection 96 -> 32 (triplane.py:58)
         self.conv1d_projection = nn.Dense(self.cfg.plane_channels,
                                           name="conv1d_projection")

@@ -40,6 +40,7 @@ from sherf_tpu.features.transformer import PlaneTransformer
 from sherf_tpu.geometry.rays import project_points
 from sherf_tpu.kernels.grid_sample import grid_sample_2d
 from sherf_tpu.kernels.knn import nn_1
+from sherf_tpu.kernels.occupancy import occupancy_mask
 from sherf_tpu.nerf.decoders import NeRFDecoder, OSGDecoder
 from sherf_tpu.nerf.march import ray_march
 from sherf_tpu.nerf.warp import (
@@ -92,7 +93,12 @@ class SHERFRenderer(nn.Module):
     cfg: ModelConfig
     out_sh: Tuple[int, int, int] = (128, 352, 416)
 
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+
     def setup(self):
+        cdt = self.compute_dtype
         if self.cfg.use_3d_feature:
             self.encoder_3d = nn.vmap(
                 SparseConvNet,
@@ -100,21 +106,23 @@ class SHERFRenderer(nn.Module):
                 variable_axes={"params": None, "batch_stats": None},
                 split_rngs={"params": False},
             )(num_layers=self.cfg.sparse_conv_layers, out_sh=self.out_sh,
-              name="encoder_3d")
+              dtype=cdt, name="encoder_3d")
             # 192 -> 96 (renderer.py:271)
-            self.conv1d_projection = nn.Dense(96, name="conv1d_projection")
+            self.conv1d_projection = nn.Dense(96, dtype=cdt,
+                                              name="conv1d_projection")
         n_banks = int(self.cfg.use_1d_feature) + int(self.cfg.use_2d_feature) \
             + int(self.cfg.use_3d_feature)
         if n_banks > 1:
             # 96 (or 64) -> 32 fusion (renderer.py:272-275)
-            self.conv1d_reprojection = nn.Dense(32, name="conv1d_reprojection")
+            self.conv1d_reprojection = nn.Dense(32, dtype=cdt,
+                                                name="conv1d_reprojection")
         if self.cfg.use_trans:
             self.transformer = PlaneTransformer(dim=self.cfg.plane_channels,
-                                                name="transformer")
+                                                dtype=cdt, name="transformer")
         if self.cfg.use_nerf_decoder:
-            self.decoder = NeRFDecoder(name="decoder")
+            self.decoder = NeRFDecoder(dtype=cdt, name="decoder")
         else:
-            self.decoder = OSGDecoder(name="decoder")
+            self.decoder = OSGDecoder(dtype=cdt, name="decoder")
 
     def __call__(self,
                  planes: Optional[jnp.ndarray],      # (B, 3, Hp, Wp, C)
@@ -136,8 +144,15 @@ class SHERFRenderer(nn.Module):
                  train: bool = False):
         cfg = self.cfg
         rc = cfg.render
+        cdt = self.compute_dtype
         B, N = ray_o.shape[:2]
         D = rc.depth_resolution
+        if planes is not None:
+            planes = planes.astype(cdt)
+        if obs_feat is not None:
+            obs_feat = obs_feat.astype(cdt)
+        if vol_feats is not None:
+            vol_feats = vol_feats.astype(cdt)
 
         # ---- stratified depths (renderer.py:299, jitter disabled upstream)
         steps = jnp.linspace(0.0, 1.0, D)
@@ -145,31 +160,44 @@ class SHERFRenderer(nn.Module):
 
         pts = ray_o[:, :, None] + depths[..., None] * ray_d[:, :, None]
         pts = pts.reshape(B, N * D, 3)
-        dirs = jnp.broadcast_to(ray_d[:, :, None], (B, N, D, 3)).reshape(B, N * D, 3)
-
-        # ---- world -> target SMPL frame (renderer.py:307-314)
-        q = jnp.einsum("bnc,bcd->bnd", pts - ctx_target.Th[:, None], ctx_target.R)
-        qd = jnp.einsum("bnc,bcd->bnd", dirs, ctx_target.R)
         tar_smpl = jnp.einsum("bvc,bcd->bvd",
                               vertices - ctx_target.Th[:, None], ctx_target.R)
 
-        # ---- fused prune + blend-weight KNN (renderer.py:315-321 + :564)
-        d2, vid = jax.vmap(nn_1)(q, tar_smpl)
-        pts_mask = d2 < rc.prune_threshold_sq  # (B, N*D)
-
-        # ---- static-capacity compaction
+        # ---- prune + compaction + blend-weight KNN
         M = N * D
         if rc.point_capacity_frac < 1.0:
+            # Conservative occupancy-grid prune (superset of the exact 5cm
+            # test) in WORLD coordinates (global R is a rotation, so
+            # distances match the reference's SMPL-frame test), then compact
+            # to the static budget — the world->SMPL transform and the exact
+            # KNN run only on the survivors.
+            occ = jax.vmap(
+                lambda qq, vv: occupancy_mask(
+                    qq, vv, radius=float(np.sqrt(rc.prune_threshold_sq)))
+            )(pts, vertices)
             cap = _round_up(max(int(M * rc.point_capacity_frac), 128), 128)
-            idx, valid = jax.vmap(lambda m: _compact_indices(m, cap))(pts_mask)
+            idx, valid = jax.vmap(lambda m: _compact_indices(m, cap))(occ)
             gidx = jnp.minimum(idx, M - 1)
-            take = lambda x: jnp.take_along_axis(x, gidx[..., None], axis=1)
-            q_s, qd_s, = take(q), take(qd)
-            vid_s = jnp.take_along_axis(vid, gidx, axis=1)
+            pts_s = jnp.take_along_axis(pts, gidx[..., None], axis=1)
+            dirs_s = jnp.take_along_axis(ray_d, (gidx // D)[..., None], axis=1)
+            q_s = jnp.einsum("bnc,bcd->bnd",
+                             pts_s - ctx_target.Th[:, None], ctx_target.R)
+            qd_s = jnp.einsum("bnc,bcd->bnd", dirs_s, ctx_target.R)
+            d2_s, vid_s = jax.vmap(nn_1)(q_s, tar_smpl)
+            exact_s = valid & (d2_s < rc.prune_threshold_sq)
         else:
+            # parity mode: exact full KNN, mask-only (no dropped compute)
+            q = jnp.einsum("bnc,bcd->bnd",
+                           pts - ctx_target.Th[:, None], ctx_target.R)
+            dirs = jnp.broadcast_to(ray_d[:, :, None],
+                                    (B, N, D, 3)).reshape(B, M, 3)
+            qd = jnp.einsum("bnc,bcd->bnd", dirs, ctx_target.R)
+            d2, vid = jax.vmap(nn_1)(q, tar_smpl)
+            pts_mask = d2 < rc.prune_threshold_sq  # (B, N*D)
             cap = M
             idx, valid = None, jnp.ones((B, M), bool)
             q_s, qd_s, vid_s = q, qd, vid
+            exact_s = pts_mask
 
         # ---- warp to canonical (renderer.py:323)
         can, can_dir = jax.vmap(
@@ -252,15 +280,15 @@ class SHERFRenderer(nn.Module):
 
         # ---- scatter back with -80 density outside the body (renderer.py:364-371)
         if idx is not None:
-            ok = valid & jnp.take_along_axis(pts_mask, jnp.minimum(idx, M - 1), axis=1)
             colors = jnp.zeros((B, M, 3)).at[
-                jnp.arange(B)[:, None], idx].set(rgb_pts * ok[..., None], mode="drop")
+                jnp.arange(B)[:, None], idx].set(rgb_pts * exact_s[..., None],
+                                                 mode="drop")
             dens = jnp.full((B, M), -80.0).at[
                 jnp.arange(B)[:, None], idx].set(
-                jnp.where(ok, sigma_pts, -80.0), mode="drop")
+                jnp.where(exact_s, sigma_pts, -80.0), mode="drop")
         else:
-            colors = rgb_pts * pts_mask[..., None]
-            dens = jnp.where(pts_mask, sigma_pts, -80.0)
+            colors = rgb_pts * exact_s[..., None]
+            dens = jnp.where(exact_s, sigma_pts, -80.0)
 
         colors = colors.reshape(B, N, D, 3)
         dens = dens.reshape(B, N, D)

@@ -4,6 +4,9 @@ from sherf_tpu.train.train_state import (
     SHERFTrainState, create_train_state, ema_update, step_lr_schedule,
 )
 from sherf_tpu.train.step import make_train_step
+from sherf_tpu.train.gan import (
+    g_adversarial_loss, d_loss, r1_penalty, make_gan_losses, create_d_state,
+)
 
 __all__ = [
     "ssim",
@@ -15,4 +18,9 @@ __all__ = [
     "ema_update",
     "step_lr_schedule",
     "make_train_step",
+    "g_adversarial_loss",
+    "d_loss",
+    "r1_penalty",
+    "make_gan_losses",
+    "create_d_state",
 ]

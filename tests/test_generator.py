@@ -84,3 +84,15 @@ def test_ablation_flags_compile(setup):
         variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, smpl))(batch)
         out = jax.jit(lambda v, b: model.apply(v, b, smpl))(variables, batch)
         assert bool(jnp.isfinite(out["image_raw"]).all()), flags
+
+
+def test_bf16_compute_path(setup):
+    smpl, _, out_sh, _, batch, variables = setup
+    cfg16 = ModelConfig(backbone_resolution=64, voxel_size=0.02,
+                        compute_dtype="bfloat16",
+                        render=RenderConfig(depth_resolution=D,
+                                            point_capacity_frac=0.5))
+    model16 = SHERFGenerator(cfg16, out_sh=out_sh)
+    out16 = jax.jit(lambda v, b: model16.apply(v, b, smpl))(variables, batch)
+    assert out16["image_raw"].dtype == jnp.float32
+    assert bool(jnp.isfinite(out16["image_raw"]).all())

@@ -32,3 +32,14 @@ def test_nn_chunked():
     # distance ties can produce different argmin; compare distances everywhere
     np.testing.assert_allclose(np.asarray(d2), od2, atol=1e-4)
     assert (np.asarray(idx) == oidx).mean() > 0.999
+
+
+def test_nn_pallas_interpret_matches_ref():
+    from sherf_tpu.kernels.knn_pallas import nn_1_pallas
+    rng = np.random.RandomState(2)
+    q = (rng.randn(1000, 3) * 0.5).astype(np.float32)
+    r = (rng.randn(689, 3) * 0.5).astype(np.float32)
+    d2, idx = nn_1_pallas(jnp.asarray(q), jnp.asarray(r), interpret=True)
+    od2, oidx = _oracle(q, r)
+    np.testing.assert_allclose(np.asarray(d2), od2, atol=1e-3)
+    assert (np.asarray(idx) == oidx).mean() > 0.995

@@ -120,3 +120,19 @@ def test_sparse_convnet_end_to_end():
     assert bool(jnp.isfinite(out).all())
     # queries at occupied sites should see nonzero features
     assert float(jnp.abs(out).sum()) > 0
+
+
+def test_dense_readout_matches_index_readout():
+    from sherf_tpu.features.sparseconv import trilinear_dense_sample
+    rng = np.random.RandomState(5)
+    shape = (8, 10, 12)
+    coords = _random_sites(rng, 50, shape)
+    feats = rng.randn(50, 4).astype(np.float32)
+    valid = jnp.ones(50, bool)
+    grid = build_index_grid(jnp.asarray(coords), valid, shape)
+    pos = rng.rand(300, 3).astype(np.float32) * (np.array(shape) + 1) - 1  # incl. oob
+    a = np.asarray(trilinear_site_sample(jnp.asarray(feats), grid, shape,
+                                         jnp.asarray(pos)))
+    b = np.asarray(trilinear_dense_sample(jnp.asarray(feats), jnp.asarray(coords),
+                                          valid, shape, jnp.asarray(pos)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
