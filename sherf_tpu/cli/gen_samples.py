@@ -1,28 +1,13 @@
-"""Render still samples and (optionally) extract the canonical density field
+"""Render still samples and (optionally) extract the canonical shape
 (SHERF-aware replacement of the reference's vestigial gen_samples.py, whose
-EG3D G.mapping call lacks the observation image — SURVEY §3.4; shape export
-replaces shape_utils.py's marching-cubes path with a density grid + point
-cloud, since no marching-cubes dependency is baked into this image)."""
+EG3D G.mapping call lacks the observation image — SURVEY §3.4; --shapes
+samples the canonical density field on a grid and extracts the iso-surface
+mesh, matching gen_samples.py:239-272 + shape_utils.py of the reference)."""
 
 from __future__ import annotations
 
 import argparse
 import os
-
-
-def export_density_ply(path: str, pts, sigma, threshold: float = 10.0):
-    """Write voxels above the density threshold as a PLY point cloud."""
-    import numpy as np
-
-    keep = sigma > threshold
-    pts = np.asarray(pts)[keep]
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n")
-        f.write(f"element vertex {len(pts)}\n")
-        f.write("property float x\nproperty float y\nproperty float z\n")
-        f.write("end_header\n")
-        for p in pts:
-            f.write(f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f}\n")
 
 
 def main(argv=None):
@@ -34,6 +19,8 @@ def main(argv=None):
     p.add_argument("--shapes", action="store_true",
                    help="also export the canonical density field")
     p.add_argument("--shape_res", type=int, default=64)
+    p.add_argument("--shape_level", type=float, default=10.0,
+                   help="density iso-level for the extracted mesh")
     p.add_argument("--resume", default=None)
     p.add_argument("--smpl_model", default=None)
     a = p.parse_args(argv)
@@ -78,18 +65,44 @@ def main(argv=None):
         print(f"wrote {out}")
 
         if a.shapes:
-            # sample the canonical density on a grid through the renderer's
-            # warp-free path: rays replaced by canonical-space probes
+            from sherf_tpu.geometry.shape import (
+                convert_sdf_samples_to_ply, write_mrc)
+
+            sigma = sample_density_grid(model, variables, batch, smpl,
+                                        a.shape_res)
             lo = np.asarray(batch.t_bounds[0, 0])
             hi = np.asarray(batch.t_bounds[0, 1])
-            n = a.shape_res
-            axes = [np.linspace(lo[i], hi[i], n, dtype=np.float32) for i in range(3)]
-            grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
-            np.save(os.path.join(a.outdir, f"seed{seed:04d}_density_grid.npy"), grid)
-            export_density_ply(os.path.join(a.outdir, f"seed{seed:04d}_verts.ply"),
-                               np.asarray(batch.t_vertices[0]),
-                               np.full(batch.t_vertices.shape[1], 1e9))
-            print("wrote canonical grid + vertex PLY")
+            voxel = float((hi - lo).max()) / (a.shape_res - 1)
+            write_mrc(os.path.join(a.outdir, f"seed{seed:04d}.mrc"), sigma,
+                      voxel_size=voxel)
+            convert_sdf_samples_to_ply(
+                sigma, lo, voxel,
+                os.path.join(a.outdir, f"seed{seed:04d}.ply"),
+                level=a.shape_level)
+            print("wrote canonical density .mrc + iso-surface .ply")
+
+
+def sample_density_grid(model, variables, batch, smpl, res: int,
+                        chunk: int = 65536):
+    """Evaluate the canonical density field on a res^3 grid (in the
+    canonical t_bounds AABB).  Returns (res, res, res) float32 sigma."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    lo = np.asarray(batch.t_bounds[0, 0])
+    hi = np.asarray(batch.t_bounds[0, 1])
+    axes = [np.linspace(lo[i], hi[i], res, dtype=np.float32) for i in range(3)]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    pad = (-len(grid)) % chunk
+    grid_p = np.pad(grid, ((0, pad), (0, 0)))
+
+    query = jax.jit(lambda v, b, p: model.apply(
+        v, b, smpl, p, method=model.query_canonical)["sigma"])
+    out = [np.asarray(query(variables, batch, jnp.asarray(c[None]))[0, :, 0],
+                      np.float32)
+           for c in grid_p.reshape(-1, chunk, 3)]
+    return np.concatenate(out)[:len(grid)].reshape(res, res, res)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,11 @@ class RenderConfig:
     point_capacity_frac: float = 1.0
     # Ray chunk size for lax.map chunking of the per-point pipeline.
     ray_chunk: int = 65536
+    # Conservative prune stage feeding the compaction: 'capsule' (pure
+    # compute, fastest on TPU), 'voxel' (dilated occupancy grid).  Both are
+    # strict supersets of the exact vertex-distance test, which is always
+    # re-applied on the compacted survivors.
+    prune_mode: str = "capsule"
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self))
@@ -73,6 +78,8 @@ class ModelConfig:
     # sparse 3D conv feature volume
     voxel_size: float = 0.005
     sparse_conv_layers: int = 4
+    # static site capacities of the three downsample stages
+    sparse_caps: Tuple[int, int, int] = (8192, 8192, 8192)
     # compute dtype for the conv/matmul hot paths ('float32' | 'bfloat16')
     compute_dtype: str = "float32"
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)

@@ -1,9 +1,10 @@
-"""GAN metric suite: FID / KID / precision-recall cores.
+"""GAN metric suite: FID / KID / precision-recall / PPL / IS / equivariance.
 
 The reference inherits EG3D's metrics/ package (fid50k_full, kid50k_full,
-pr50k3_full — metric_main.py:87-152) which downloads an Inception pickle at
-runtime; this environment has no egress, so the statistics math is native
-and the feature extractor is pluggable (any (N,H,W,3)->(N,D) embedding; the
+pr50k3_full, ppl2_wend, eqt50k_int/eqt50k_frac/eqr50k, is50k —
+metric_main.py:87-152) which downloads an Inception pickle at runtime; this
+environment has no egress, so the statistics math is native and the feature
+extractor / classifier is pluggable (any (N,H,W,3)->(N,D) embedding; the
 LPIPS VGG16 tower doubles as one when its weights are present).
 """
 
@@ -90,6 +91,65 @@ def precision_recall(feat_real: np.ndarray, feat_gen: np.ndarray,
     precision = coverage(feat_gen, feat_real, knn_radius(feat_real, nhood_size))
     recall = coverage(feat_real, feat_gen, knn_radius(feat_gen, nhood_size))
     return precision, recall
+
+
+def slerp(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
+    """Spherical interpolation (perceptual_path_length.py:23-33)."""
+    a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+    b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    d = np.sum(a * b, axis=-1, keepdims=True)
+    p = np.asarray(t) * np.arccos(np.clip(d, -1.0, 1.0))
+    c = b - d * a
+    c = c / np.linalg.norm(c, axis=-1, keepdims=True)
+    out = a * np.cos(p) + c * np.sin(p)
+    return out / np.linalg.norm(out, axis=-1, keepdims=True)
+
+
+def perceptual_path_length(dist: np.ndarray, epsilon: float = 1e-4) -> float:
+    """PPL aggregate (perceptual_path_length.py / ppl2_wend): given LPIPS
+    distances between image pairs rendered at latent offsets of ``epsilon``,
+    scale by eps^-2 and report the mean with the reference's 1%/99%
+    percentile clipping (lo/hi filtering of outliers)."""
+    d = np.asarray(dist, np.float64) / (epsilon ** 2)
+    if d.size == 0:
+        return float("nan")
+    lo, hi = np.percentile(d, [1, 99])
+    return float(d[(d >= lo) & (d <= hi)].mean())
+
+
+def inception_score(probs: np.ndarray, num_splits: int = 10
+                    ) -> Tuple[float, float]:
+    """IS (inception_score.py / is50k): exp(E KL(p(y|x) || p(y))) over
+    ``num_splits`` disjoint splits of the (N, num_classes) probabilities.
+    The classifier is pluggable; the reference hardwires Inception-v3."""
+    probs = np.asarray(probs, np.float64)
+    scores = []
+    for part in np.array_split(probs, num_splits):
+        if len(part) == 0:
+            continue
+        kl = part * (np.log(part + 1e-12)
+                     - np.log(part.mean(0, keepdims=True) + 1e-12))
+        scores.append(float(np.exp(kl.sum(1).mean())))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def equivariance_psnr(img_a: np.ndarray, img_b: np.ndarray,
+                      mask: Optional[np.ndarray] = None) -> float:
+    """EQ metric aggregate (equivariance.py eqt/eqr): PSNR in dB between a
+    transformed render and a rendered transform, over the valid region.
+    Images in [-1, 1] (the reference measures on the raw generator output
+    range, equivariance.py:200+: mse scaled to that 2-unit dynamic range)."""
+    a = np.asarray(img_a, np.float64)
+    b = np.asarray(img_b, np.float64)
+    se = (a - b) ** 2
+    if mask is not None:
+        m = np.asarray(mask, bool)
+        if not m.any():
+            return float("nan")
+        mse = se[m].mean()
+    else:
+        mse = se.mean()
+    return float(10.0 * np.log10(4.0 / max(mse, 1e-20)))
 
 
 def compute_fid(real_images, gen_images, extractor: Callable) -> float:

@@ -1,3 +1,11 @@
+from sherf_tpu.geometry.shape import (
+    convert_sdf_samples_to_ply,
+    marching_tetrahedra,
+    read_mrc,
+    read_ply,
+    write_mrc,
+    write_ply,
+)
 from sherf_tpu.geometry.rays import (
     get_rays,
     get_rays_np,
@@ -9,6 +17,12 @@ from sherf_tpu.geometry.rays import (
 )
 
 __all__ = [
+    "convert_sdf_samples_to_ply",
+    "marching_tetrahedra",
+    "read_mrc",
+    "read_ply",
+    "write_mrc",
+    "write_ply",
     "get_rays",
     "get_rays_np",
     "near_far_aabb",

@@ -1,0 +1,137 @@
+"""Stream compaction (mask -> indices of the first `cap` survivors).
+
+TPU-native replacement for the renderer's cumsum+scatter compaction
+(renderer._compact_indices): the XLA formulation costs a 12.6M-element
+multi-pass cumsum plus a 12.6M random scatter (~90ms/frame measured on v5e).
+This kernel does the same job in one streaming pass:
+
+  pass 1 (XLA):    per-block survivor counts (streaming reduce) and their
+                   exclusive scan -> per-block output offsets;
+  pass 2 (Pallas): per block, positions via MXU prefix-sum matmuls
+                   (mask tile @ upper-triangular ones), pack the surviving
+                   global indices with a one-hot position matmul
+                   (f32 is exact for indices < 2^24), and write the block's
+                   compacted run at its offset with one dynamic store.
+
+Blocks execute in sequential grid order on TPU, so each block's
+sentinel-padded tail is overwritten by the next block's run — the final
+buffer is dense.  The tail beyond the last write is fixed in XLA.
+Output matches `_compact_indices` exactly: indices of the first `cap` True
+entries in order, sentinel n elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 8192  # samples per program; multiple of 128
+
+
+def _kernel(off_ref, mask_ref, out_ref, *, n: int, cap_pad: int):
+    blk_i = pl.program_id(0)
+    R = BLK // 128
+    m = mask_ref[0, :].astype(jnp.float32).reshape(R, 128)
+
+    # inclusive prefix sum along lanes via MXU: cum[r, j] = sum_{k<=j} m[r, k]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tri = (lane <= lane_t).astype(jnp.float32)            # upper-tri incl.
+    cum = jnp.dot(m, tri, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+
+    # row offsets: exclusive scan of the per-row totals (tiny, via matmul)
+    row_tot = jnp.swapaxes(cum[:, 127:128], 0, 1)         # (1, R)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    strict = (rr < cc).astype(jnp.float32)                # strictly-lower
+    row_off = jnp.dot(row_tot, strict,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (1, R)
+    count = row_off[0, R - 1] + row_tot[0, R - 1]
+
+    # two-level pack: (a) survivors of each 128-lane row packed to its left
+    # edge with one (1,128)x(128,128) one-hot matmul; (b) each packed row
+    # rolled to its row offset inside the (1, BLK+128) block accumulator.
+    # Work per block is O(R * 128^2) instead of the O(BLK^2) single-level
+    # pack — and BLK can be large enough to amortize program overhead.
+    gidx = (jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+            + blk_i * BLK).astype(jnp.float32)
+    slot128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1).astype(
+        jnp.float32)
+    pos_in_row = cum - 1.0                                # (R, 128)
+    packed = jnp.zeros((1, BLK + 128), jnp.float32)
+    zpad = jnp.zeros((1, BLK), jnp.float32)
+    row_off_i = row_off.astype(jnp.int32)
+    for r in range(R):
+        pos_col = jnp.swapaxes(pos_in_row[r:r + 1, :], 0, 1)   # (128, 1)
+        A_r = (pos_col == slot128).astype(jnp.float32)         # (128, 128)
+        g_r = (gidx[r:r + 1, :] + 1.0) * m[r:r + 1, :]         # (1, 128)
+        row_packed = jnp.dot(g_r, A_r,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        wide = jnp.concatenate([row_packed, zpad], axis=1)     # (1, BLK+128)
+        packed = packed + pltpu.roll(wide, row_off_i[0, r], 1)
+
+    # store the run at its (unaligned) offset: TPU dynamic stores must be
+    # 128-aligned, so lane-roll to the offset remainder and ACCUMULATE at
+    # the aligned base into a zero-initialized buffer — runs are disjoint,
+    # so adds reconstruct the dense layout (values are gidx+1; 0 = empty)
+    @pl.when(blk_i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    off = off_ref[blk_i]
+    base = pl.multiple_of(jnp.minimum((off // 128) * 128,
+                                      cap_pad - BLK - 256), 128)
+    slotw = jax.lax.broadcasted_iota(jnp.int32, (1, BLK + 128), 1).astype(
+        jnp.float32)
+    vals = jnp.where(slotw < count, packed, 0.0)
+    buf = jnp.concatenate([vals, jnp.zeros((1, 128), jnp.float32)], axis=1)
+    buf = pltpu.roll(buf, off - base, 1)  # wrapped lanes are zeros
+    out_ref[:, pl.ds(base, BLK + 256)] += buf.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def compact_mask(mask: jnp.ndarray, cap: int, interpret: bool = None):
+    """mask: (N,) bool.  Returns (idx (cap,) int32, valid (cap,) bool) —
+    global indices of the first `cap` True entries (sentinel N elsewhere),
+    identical to the XLA `_compact_indices` reference."""
+    n = mask.shape[0]
+    assert n < (1 << 24), "f32 one-hot pack is exact only for indices < 2^24"
+    pad = (-n) % BLK
+    m = jnp.pad(mask.astype(jnp.int8), (0, pad))
+    nblk = m.shape[0] // BLK
+    counts = m.reshape(nblk, BLK).sum(-1, dtype=jnp.int32)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(counts)[:-1]])
+    total = jnp.minimum(offs[-1] + counts[-1], cap)
+
+    # extra headroom so clamped overflow writes land strictly above `cap`
+    cap_pad = ((cap + BLK - 1) // BLK) * BLK + BLK + 256
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((1, BLK), lambda i, off: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, cap_pad), lambda i, off: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        functools.partial(_kernel, n=n, cap_pad=cap_pad),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, cap_pad), jnp.int32),
+        interpret=interpret,
+    )(offs, m.reshape(1, nblk * BLK))[0, :cap]
+
+    # stored values are gidx+1 (0 = never written); sentinel the tail
+    idx = jnp.where(jnp.arange(cap) < total, out - 1, n)
+    return idx, idx < n

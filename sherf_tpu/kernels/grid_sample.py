@@ -6,6 +6,13 @@ lookup (renderer.py:333-336, triplane.py:115-118) and sparse-volume readout
 (renderer.py:764-791).  Implemented as clipped gathers + in-bounds masks
 (zeros padding) so shapes stay static under jit.
 
+Random row gathers are latency-bound on TPU (~10-16ns per row regardless of
+width — measured on v5e), so the hot paths use CORNER-PACKED textures:
+``pack_corners_2d`` widens the image to 4C channels holding the full 2x2
+bilinear neighborhood of each texel, and ``grid_sample_2d_packed`` then
+needs ONE gather per sample instead of four.  Numerics are identical to the
+4-tap path (same taps, same zero padding).
+
 Coordinates are in [-1, 1], xy(z) order: x indexes the LAST spatial axis
 (W), matching torch's convention.
 """
@@ -53,6 +60,53 @@ def grid_sample_2d(img: jnp.ndarray, coords: jnp.ndarray,
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
+
+
+def pack_corners_2d(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (H, W, 4C): channels [k*C:(k+1)*C] hold
+    img[y + k//2, x + k%2] with zeros beyond the edges."""
+    H, W, C = img.shape
+    p = jnp.pad(img, ((0, 1), (0, 1), (0, 0)))
+    return jnp.concatenate([
+        p[:H, :W], p[:H, 1:W + 1], p[1:H + 1, :W], p[1:H + 1, 1:W + 1],
+    ], axis=-1)
+
+
+def grid_sample_2d_packed(packed: jnp.ndarray, coords: jnp.ndarray,
+                          align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear sample from a corner-packed image — one row gather per
+    point.  packed: (H, W, 4C) from :func:`pack_corners_2d`; coords: (N, 2)
+    normalized (x, y).  Returns (N, C).  Matches grid_sample_2d exactly."""
+    H, W, C4 = packed.shape
+    C = C4 // 4
+    x = _unnormalize(coords[:, 0], W, align_corners)
+    y = _unnormalize(coords[:, 1], H, align_corners)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    wx = (x - x0.astype(x.dtype))[:, None].astype(packed.dtype)
+    wy = (y - y0.astype(y.dtype))[:, None].astype(packed.dtype)
+
+    # one gather at the clipped base texel; its 4 channel groups cover all
+    # corners we might need (when x0/y0 sit just outside, the needed
+    # in-bounds corner lives in a lower group of the clipped base).  The
+    # per-corner group remap folds into per-group weights.
+    bx = jnp.clip(x0, 0, W - 1)
+    by = jnp.clip(y0, 0, H - 1)
+    rows = jnp.take(packed.reshape(H * W, C4), by * W + bx, axis=0)
+    rows = rows.reshape(-1, 4, C)
+
+    wgrp = jnp.zeros((coords.shape[0], 4), packed.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            cx = x0 + dx
+            cy = y0 + dy
+            ok = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+            g = jnp.clip(cy - by, 0, 1) * 2 + jnp.clip(cx - bx, 0, 1)
+            w = (wx if dx else 1 - wx) * (wy if dy else 1 - wy)
+            onehot = (g[:, None] == jnp.arange(4)[None, :]).astype(
+                packed.dtype)
+            wgrp = wgrp + onehot * (w[:, 0] * ok.astype(packed.dtype))[:, None]
+    return jnp.einsum("nk,nkc->nc", wgrp, rows)
 
 
 def _gather_corners_3d(vol, ix, iy, iz):

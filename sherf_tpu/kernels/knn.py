@@ -56,3 +56,20 @@ def nn_1(query: jnp.ndarray, ref: jnp.ndarray, chunk: int = 8192):
 
         return nn_1_pallas(query, ref)
     return nn_1_ref(query, ref, chunk=chunk)
+
+
+def nn_1_tables(query: jnp.ndarray, ref: jnp.ndarray, tables: jnp.ndarray,
+                chunk: int = 8192):
+    """K=1 KNN fused with a per-vertex payload lookup: returns
+    (dist_sq (N,), idx (N,), tables[idx] (N, C)).
+
+    On TPU the payload comes out of the KNN kernel via one-hot MXU matmuls
+    (kernels/knn_pallas.py) — replacing N random row gathers (~10ns each)
+    with matmul-speed work.  Elsewhere: jnp KNN + a plain gather."""
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon"):
+        from sherf_tpu.kernels.knn_pallas import nn_1_tables_pallas
+
+        return nn_1_tables_pallas(query, ref, tables)
+    d2, idx = nn_1_ref(query, ref, chunk=chunk)
+    return d2, idx, jnp.take(tables, idx, axis=0)

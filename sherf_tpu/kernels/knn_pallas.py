@@ -48,6 +48,43 @@ def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
     idx_ref[:] = best_i
 
 
+def _knn_tables_kernel(q_ref, v_ref, tab_ref, dist_ref, idx_ref, pay_ref,
+                       *, n_vtiles: int):
+    """Fused K=1 KNN + per-vertex payload gather.
+
+    q_ref: (P, 3); v_ref: (3, V'); tab_ref: (V', C); outputs dist/idx (P, 1)
+    and payload (P, C) = tab[argmin].  The payload gather is a one-hot MXU
+    matmul per vertex tile — no random memory access anywhere (XLA row
+    gathers cost ~10ns/row; this runs at matmul speed)."""
+    q = q_ref[:]
+    best = jnp.full((P_TILE, 1), jnp.inf, jnp.float32)
+    best_i = jnp.zeros((P_TILE, 1), jnp.int32)
+    for t in range(n_vtiles):
+        v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]
+        vsq = jnp.sum(v * v, axis=0, keepdims=True)
+        qv = jax.lax.dot_general(
+            q, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d2 = vsq - 2.0 * qv
+        m = jnp.min(d2, axis=1, keepdims=True)
+        i = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32) + t * V_TILE
+        upd = m < best
+        best = jnp.where(upd, m, best)
+        best_i = jnp.where(upd, i, best_i)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, V_TILE), 1)
+    pay = jnp.zeros((P_TILE, tab_ref.shape[1]), jnp.float32)
+    for t in range(n_vtiles):
+        onehot = (lane + t * V_TILE == best_i).astype(jnp.float32)  # (P, VT)
+        tab = tab_ref[pl.ds(t * V_TILE, V_TILE), :]                  # (VT, C)
+        pay = pay + jnp.dot(onehot, tab, preferred_element_type=jnp.float32)
+
+    qsq = jnp.sum(q * q, axis=1, keepdims=True)
+    dist_ref[:] = best + qsq
+    idx_ref[:] = best_i
+    pay_ref[:] = pay
+
+
 def nn_1_pallas(query: jnp.ndarray, ref: jnp.ndarray,
                 interpret: bool = False):
     """query: (N, 3); ref: (V, 3) -> (dist_sq (N,), idx (N,))."""
@@ -83,3 +120,48 @@ def nn_1_pallas(query: jnp.ndarray, ref: jnp.ndarray,
         interpret=interpret,
     )(qt, vt)
     return dist[:n, 0], idx[:n, 0]
+
+
+def nn_1_tables_pallas(query: jnp.ndarray, ref: jnp.ndarray,
+                       tables: jnp.ndarray, interpret: bool = False):
+    """query: (N, 3); ref: (V, 3); tables: (V, C) per-vertex payload.
+    Returns (dist_sq (N,), idx (N,), payload (N, C) == tables[idx])."""
+    n = query.shape[0]
+    v, c = tables.shape
+    c_pad = -c % 128
+    v_padn = -v % V_TILE
+    n_pad = -n % P_TILE
+    qt = jnp.pad(query.astype(jnp.float32), ((0, n_pad), (0, 0)))
+    vt = jnp.pad(ref.astype(jnp.float32), ((0, v_padn), (0, 0)),
+                 constant_values=SENTINEL).T
+    tt = jnp.pad(tables.astype(jnp.float32), ((0, v_padn), (0, c_pad)))
+    n_tiles = qt.shape[0] // P_TILE
+    n_vtiles = vt.shape[1] // V_TILE
+
+    dist, idx, pay = pl.pallas_call(
+        functools.partial(_knn_tables_kernel, n_vtiles=n_vtiles),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((P_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, vt.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vt.shape[1], tt.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((P_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_TILE, tt.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((qt.shape[0], tt.shape[1]), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qt, vt, tt)
+    return dist[:n, 0], idx[:n, 0], pay[:n, :c]

@@ -168,6 +168,50 @@ class SHERFGenerator(nn.Module):
         return out
 
     # ------------------------------------------------------------------
+    def query_canonical(self, batch: SHERFBatch, smpl: SMPLModel,
+                        pts: jnp.ndarray, dirs: Optional[jnp.ndarray] = None):
+        """Probe the radiance field at canonical (big-pose) points.
+
+        pts: (B, M, 3) canonical-space positions.  Returns the decoder dict
+        {"rgb": (B, M, 3), "sigma": (B, M, 1)}.  This is the shape-export
+        path (reference gen_samples.py --shapes samples the density on a
+        grid through the same run_model stack, renderer.py:400-437).
+        """
+        cfg = self.cfg
+        B = batch.obs_img.shape[0]
+        ws = self.mapping(batch.obs_img)
+        if cfg.use_1d_feature:
+            planes = self.backbone.synthesis(ws, noise_mode="none",
+                                             fused_modconv=True)
+            Hp, Wp = planes.shape[1:3]
+            planes = planes.reshape(B, Hp, Wp, cfg.n_planes, cfg.plane_channels)
+            planes = jnp.moveaxis(planes, 3, 1)
+        else:
+            planes = None
+        obs_feat = self.encoder_2d_feature(batch.obs_img, extract_feature=True,
+                                           train=False)
+        ctx_big = jax.vmap(lambda p: make_pose_context(smpl, p))(batch.t_pose)
+        ctx_obs = jax.vmap(lambda p: make_pose_context(smpl, p))(batch.obs_pose)
+        t_min = jnp.min(batch.t_vertices, axis=1) - 0.05
+        min_dhw = t_min[:, (2, 1, 0)]
+        if cfg.use_3d_feature:
+            vol_feats, vol_coords = self._observation_volume(
+                batch, obs_feat, smpl, min_dhw, ctx_obs, ctx_big)
+        else:
+            vol_feats = vol_coords = None
+        if dirs is None:
+            dirs = jnp.zeros_like(pts)
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        return self.renderer.decode_points(
+            None if planes is None else planes.astype(cdt),
+            batch.obs_img,
+            None if obs_feat is None else obs_feat.astype(cdt),
+            None if vol_feats is None else vol_feats.astype(cdt),
+            vol_coords, min_dhw, pts, dirs, ctx_obs, ctx_big,
+            batch.t_vertices, batch.t_bounds,
+            batch.obs_K, batch.obs_R, batch.obs_T, smpl)
+
+    # ------------------------------------------------------------------
     def __call__(self, batch: SHERFBatch, smpl: SMPLModel,
                  truncation_psi: float = 1.0,
                  truncation_cutoff: Optional[int] = None,

@@ -39,12 +39,15 @@ from sherf_tpu.features.sparseconv import SparseConvNet, world_to_voxel_f
 from sherf_tpu.features.transformer import PlaneTransformer
 from sherf_tpu.geometry.rays import project_points
 from sherf_tpu.kernels.grid_sample import grid_sample_2d
-from sherf_tpu.kernels.knn import nn_1
+from sherf_tpu.kernels.capsules import prune_mask
+from sherf_tpu.kernels.compaction import compact_mask
+from sherf_tpu.kernels.knn import nn_1_tables
 from sherf_tpu.kernels.occupancy import occupancy_mask
 from sherf_tpu.nerf.decoders import NeRFDecoder, OSGDecoder
 from sherf_tpu.nerf.march import ray_march
 from sherf_tpu.nerf.warp import (
-    PoseContext, deform_target2c, deform_c2source,
+    PoseContext, c2source_tables, deform_c2source_from_tables,
+    deform_target2c_from_tables, target2c_tables,
 )
 from sherf_tpu.smpl.model import SMPLModel
 
@@ -106,7 +109,7 @@ class SHERFRenderer(nn.Module):
                 variable_axes={"params": None, "batch_stats": None},
                 split_rngs={"params": False},
             )(num_layers=self.cfg.sparse_conv_layers, out_sh=self.out_sh,
-              dtype=cdt, name="encoder_3d")
+              caps=tuple(self.cfg.sparse_caps), dtype=cdt, name="encoder_3d")
             # 192 -> 96 (renderer.py:271)
             self.conv1d_projection = nn.Dense(96, dtype=cdt,
                                               name="conv1d_projection")
@@ -166,24 +169,44 @@ class SHERFRenderer(nn.Module):
         # ---- prune + compaction + blend-weight KNN
         M = N * D
         if rc.point_capacity_frac < 1.0:
-            # Conservative occupancy-grid prune (superset of the exact 5cm
-            # test) in WORLD coordinates (global R is a rotation, so
-            # distances match the reference's SMPL-frame test), then compact
-            # to the static budget — the world->SMPL transform and the exact
-            # KNN run only on the survivors.
-            occ = jax.vmap(
-                lambda qq, vv: occupancy_mask(
-                    qq, vv, radius=float(np.sqrt(rc.prune_threshold_sq)))
-            )(pts, vertices)
+            # Conservative prune (strict superset of the exact 5cm test),
+            # then compact to the static budget — the world->SMPL transform
+            # and the exact KNN run only on the survivors.
+            radius = float(np.sqrt(rc.prune_threshold_sq))
+            if rc.prune_mode == "capsule":
+                # pure-compute capsule test in the SMPL frame (zero gathers)
+                q_all = jnp.einsum("bnc,bcd->bnd",
+                                   pts - ctx_target.Th[:, None], ctx_target.R)
+                occ = jax.vmap(
+                    lambda qq, vv, jj: prune_mask(qq, vv, jj, smpl, radius)
+                )(q_all, tar_smpl, ctx_target.joints)
+            else:
+                # dilated occupancy grid in WORLD coordinates (global R is a
+                # rotation, so distances match the SMPL-frame test)
+                occ = jax.vmap(
+                    lambda qq, vv: occupancy_mask(qq, vv, radius=radius)
+                )(pts, vertices)
             cap = _round_up(max(int(M * rc.point_capacity_frac), 128), 128)
-            idx, valid = jax.vmap(lambda m: _compact_indices(m, cap))(occ)
+            if jax.default_backend() in ("tpu", "axon"):
+                # pallas streaming compaction (kernels/compaction.py); python
+                # loop over the small static batch — the kernel's sequential
+                # overwrite trick must not be vmapped
+                pairs = [compact_mask(occ[b], cap) for b in range(B)]
+                idx = jnp.stack([p[0] for p in pairs])
+                valid = jnp.stack([p[1] for p in pairs])
+            else:
+                idx, valid = jax.vmap(lambda m: _compact_indices(m, cap))(occ)
             gidx = jnp.minimum(idx, M - 1)
             pts_s = jnp.take_along_axis(pts, gidx[..., None], axis=1)
             dirs_s = jnp.take_along_axis(ray_d, (gidx // D)[..., None], axis=1)
             q_s = jnp.einsum("bnc,bcd->bnd",
                              pts_s - ctx_target.Th[:, None], ctx_target.R)
             qd_s = jnp.einsum("bnc,bcd->bnd", dirs_s, ctx_target.R)
-            d2_s, vid_s = jax.vmap(nn_1)(q_s, tar_smpl)
+            tab_t2c = jax.vmap(
+                lambda ct, cb: target2c_tables(smpl, ct, cb)
+            )(ctx_target, ctx_big)
+            d2_s, vid_s, pay_t2c = jax.vmap(nn_1_tables)(q_s, tar_smpl,
+                                                         tab_t2c)
             exact_s = valid & (d2_s < rc.prune_threshold_sq)
         else:
             # parity mode: exact full KNN, mask-only (no dropped compute)
@@ -192,7 +215,10 @@ class SHERFRenderer(nn.Module):
             dirs = jnp.broadcast_to(ray_d[:, :, None],
                                     (B, N, D, 3)).reshape(B, M, 3)
             qd = jnp.einsum("bnc,bcd->bnd", dirs, ctx_target.R)
-            d2, vid = jax.vmap(nn_1)(q, tar_smpl)
+            tab_t2c = jax.vmap(
+                lambda ct, cb: target2c_tables(smpl, ct, cb)
+            )(ctx_target, ctx_big)
+            d2, vid, pay_t2c = jax.vmap(nn_1_tables)(q, tar_smpl, tab_t2c)
             pts_mask = d2 < rc.prune_threshold_sq  # (B, N*D)
             cap = M
             idx, valid = None, jnp.ones((B, M), bool)
@@ -201,76 +227,14 @@ class SHERFRenderer(nn.Module):
 
         # ---- warp to canonical (renderer.py:323)
         can, can_dir = jax.vmap(
-            lambda ct, cb, v, qq, qq_d: deform_target2c(smpl, ct, cb, v, qq, qq_d)
-        )(ctx_target, ctx_big, vid_s, q_s, qd_s)
+            lambda ct, cb, pay, qq, qq_d: deform_target2c_from_tables(
+                ct, cb, pay, qq, qq_d)
+        )(ctx_target, ctx_big, pay_t2c, q_s, qd_s)
 
-        # ---- pixel-aligned 2D features (renderer.py:325-343)
-        if cfg.use_2d_feature:
-            _, vid2 = jax.vmap(nn_1)(can, t_vertices)
-            _, world_src, _ = jax.vmap(
-                lambda cs, cb, v, qq: deform_c2source(smpl, cs, cb, v, qq)
-            )(ctx_obs, ctx_big, vid2, can)
-            uv, _ = jax.vmap(project_points)(world_src, obs_K, obs_R, obs_T)
-            wh = jnp.asarray([obs_img.shape[2], obs_img.shape[1]], jnp.float32)
-            uv_n = 2.0 * uv / wh - 1.0
-            pix_feat = jax.vmap(
-                lambda im, c: grid_sample_2d(im, c, align_corners=True)
-            )(obs_feat, uv_n)
-            pix_rgb = jax.vmap(
-                lambda im, c: grid_sample_2d(im, c, align_corners=True)
-            )(obs_img, uv_n)
-            rgb_feat = positional_encoding(pix_rgb, 5)[..., :32]  # 33 -> 32 quirk
-            p2d = jnp.concatenate([pix_feat, rgb_feat], axis=-1)  # (B, cap, 96)
-        else:
-            vid2 = None
-            p2d = None
-
-        # ---- sparse-voxel 3D features (renderer.py:345-350)
-        if cfg.use_3d_feature:
-            qdhw = jax.vmap(
-                lambda c, m: world_to_voxel_f(c, m, cfg.voxel_size)
-            )(can, min_dhw)
-            f3 = self.encoder_3d(vol_feats, vol_coords, qdhw)  # (B, cap, 192)
-            p3d = self.conv1d_projection(f3)  # (B, cap, 96)
-        else:
-            p3d = None
-
-        # ---- triplane features (renderer.py:402, sample_from_planes)
-        if cfg.use_1d_feature:
-            lo = t_bounds[:, 0][:, None]
-            hi = t_bounds[:, 1][:, None]
-            norm = 2.0 * (can - lo) / (hi - lo) - 1.0
-            f1d = jax.vmap(sample_from_planes)(planes, norm)  # (B, 3, cap, C)
-        else:
-            f1d = None
-
-        # ---- fusion (renderer.py:405-427): 96 -> 3 plane tokens of 32
-        def to_tokens(f96):  # (B, cap, 96) -> (B, 3, cap, 32)
-            return jnp.moveaxis(f96.reshape(B, -1, 3, 32), 2, 1)
-
-        banks = []
-        if f1d is not None:
-            banks.append(f1d)
-        if p2d is not None:
-            banks.append(to_tokens(p2d))
-        if p3d is not None:
-            banks.append(to_tokens(p3d))
-        fused = jnp.concatenate(banks, axis=-1)  # (B, 3, cap, 32*n_banks)
-        if len(banks) > 1:
-            fused = self.conv1d_reprojection(fused)  # (B, 3, cap, 32)
-
-        if cfg.use_trans:
-            tok = jnp.moveaxis(fused, 1, 2)          # (B, cap, 3, 32)
-            tok = self.transformer(tok)
-            fused = jnp.moveaxis(tok, 2, 1)
-
-        # ---- decoder (renderer.py:429-432)
-        sf = jnp.moveaxis(fused, 1, 0)               # (3, B, cap, 32)
-        if cfg.use_nerf_decoder:
-            out = self.decoder(positional_encoding(can, 6), sf,
-                               positional_encoding(can_dir, 4))
-        else:
-            out = self.decoder(sf, can_dir)
+        out = self.decode_points(
+            planes, obs_img, obs_feat, vol_feats, vol_coords, min_dhw,
+            can, can_dir, ctx_obs, ctx_big, t_vertices, t_bounds,
+            obs_K, obs_R, obs_T, smpl)
         rgb_pts = out["rgb"]                          # (B, cap, 3)
         sigma_pts = out["sigma"][..., 0]              # (B, cap)
 
@@ -299,3 +263,94 @@ class SHERFRenderer(nn.Module):
                                           white_back=rc.white_back)
         )(colors, dens, depths_r, ray_d)
         return rgb, depth, jnp.sum(weights, axis=-1)
+
+    # ------------------------------------------------------------------
+    def decode_points(self,
+                      planes: Optional[jnp.ndarray],
+                      obs_img: jnp.ndarray,
+                      obs_feat: Optional[jnp.ndarray],
+                      vol_feats: Optional[jnp.ndarray],
+                      vol_coords: Optional[jnp.ndarray],
+                      min_dhw: jnp.ndarray,
+                      can: jnp.ndarray,               # (B, M, 3) canonical pts
+                      can_dir: jnp.ndarray,           # (B, M, 3) canonical dirs
+                      ctx_obs: PoseContext, ctx_big: PoseContext,
+                      t_vertices: jnp.ndarray, t_bounds: jnp.ndarray,
+                      obs_K: jnp.ndarray, obs_R: jnp.ndarray,
+                      obs_T: jnp.ndarray, smpl: SMPLModel):
+        """Feature bank lookup + fusion + decoder at canonical-space points
+        (reference run_model, renderer.py:400-437).  Shared by the ray-path
+        ``__call__`` and by direct density-field queries (shape export,
+        gen_samples --shapes)."""
+        cfg = self.cfg
+        B = can.shape[0]
+
+        # ---- pixel-aligned 2D features (renderer.py:325-343)
+        if cfg.use_2d_feature:
+            tab_c2s = jax.vmap(
+                lambda cs, cb: c2source_tables(smpl, cs, cb)
+            )(ctx_obs, ctx_big)
+            _, _, pay_c2s = jax.vmap(nn_1_tables)(can, t_vertices, tab_c2s)
+            _, world_src, _ = jax.vmap(
+                lambda cs, cb, pay, qq: deform_c2source_from_tables(
+                    cs, cb, pay, qq)
+            )(ctx_obs, ctx_big, pay_c2s, can)
+            uv, _ = jax.vmap(project_points)(world_src, obs_K, obs_R, obs_T)
+            wh = jnp.asarray([obs_img.shape[2], obs_img.shape[1]], jnp.float32)
+            uv_n = 2.0 * uv / wh - 1.0
+            pix_feat = jax.vmap(
+                lambda im, c: grid_sample_2d(im, c, align_corners=True)
+            )(obs_feat, uv_n)
+            pix_rgb = jax.vmap(
+                lambda im, c: grid_sample_2d(im, c, align_corners=True)
+            )(obs_img, uv_n)
+            rgb_feat = positional_encoding(pix_rgb, 5)[..., :32]  # 33 -> 32 quirk
+            p2d = jnp.concatenate([pix_feat, rgb_feat], axis=-1)  # (B, cap, 96)
+        else:
+            p2d = None
+
+        # ---- sparse-voxel 3D features (renderer.py:345-350)
+        if cfg.use_3d_feature:
+            qdhw = jax.vmap(
+                lambda c, m: world_to_voxel_f(c, m, cfg.voxel_size)
+            )(can, min_dhw)
+            f3 = self.encoder_3d(vol_feats, vol_coords, qdhw)  # (B, cap, 192)
+            p3d = self.conv1d_projection(f3)  # (B, cap, 96)
+        else:
+            p3d = None
+
+        # ---- triplane features (renderer.py:402, sample_from_planes)
+        if cfg.use_1d_feature:
+            lo = t_bounds[:, 0][:, None]
+            hi = t_bounds[:, 1][:, None]
+            norm = 2.0 * (can - lo) / (hi - lo) - 1.0
+            f1d = jax.vmap(sample_from_planes)(planes, norm)
+        else:
+            f1d = None
+
+        # ---- fusion (renderer.py:405-427): 96 -> 3 plane tokens of 32
+        def to_tokens(f96):  # (B, cap, 96) -> (B, 3, cap, 32)
+            return jnp.moveaxis(f96.reshape(B, -1, 3, 32), 2, 1)
+
+        banks = []
+        if f1d is not None:
+            banks.append(f1d)
+        if p2d is not None:
+            banks.append(to_tokens(p2d))
+        if p3d is not None:
+            banks.append(to_tokens(p3d))
+        fused = jnp.concatenate(banks, axis=-1)  # (B, 3, cap, 32*n_banks)
+        if len(banks) > 1:
+            fused = self.conv1d_reprojection(fused)  # (B, 3, cap, 32)
+
+        if cfg.use_trans:
+            tok = jnp.moveaxis(fused, 1, 2)          # (B, cap, 3, 32)
+            tok = self.transformer(tok)
+            fused = jnp.moveaxis(tok, 2, 1)
+
+        # ---- decoder (renderer.py:429-432)
+        sf = jnp.moveaxis(fused, 1, 0)               # (3, B, cap, 32)
+        if cfg.use_nerf_decoder:
+            return self.decoder(positional_encoding(can, 6), sf,
+                                positional_encoding(can_dir, 4))
+        return self.decoder(sf, can_dir)

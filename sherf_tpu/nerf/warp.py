@@ -33,18 +33,22 @@ class PoseContext:
     Th: jnp.ndarray            # (3,) global translation
     pose_offsets: jnp.ndarray  # (6890, 3) pose blendshape offsets
     shape_offsets: jnp.ndarray  # (6890, 3) shape blendshape offsets
+    joints: jnp.ndarray        # (24, 3) posed joints (SMPL frame)
 
 
 def make_pose_context(smpl: SMPLModel, pose: SMPLPose) -> PoseContext:
     poses = pose.poses.reshape(-1)
     shapes = pose.shapes.reshape(-1)
-    A, _ = transform_params(smpl, poses, shapes)
+    A, rest_joints = transform_params(smpl, poses, shapes)
+    posed_joints = jnp.einsum("jab,jb->ja", A[:, :3, :3], rest_joints) \
+        + A[:, :3, 3]
     return PoseContext(
         A=A,
         R=pose.R.reshape(3, 3),
         Th=pose.Th.reshape(3),
         pose_offsets=pose_offsets_table(smpl, poses),
         shape_offsets=shape_offsets_table(smpl, shapes),
+        joints=posed_joints,
     )
 
 
@@ -81,6 +85,53 @@ def _blend_A(weights_table: jnp.ndarray, vid: jnp.ndarray,
     return A_pt, bw
 
 
+def target2c_tables(smpl: SMPLModel, ctx_pose: PoseContext,
+                    ctx_big: PoseContext) -> jnp.ndarray:
+    """Per-vertex payload consumed by :func:`deform_target2c_from_tables`:
+    [blend weights (24) | pose_off (3) | shape_off (3) | big_pose_off (3)].
+    Feed to kernels.knn.nn_1_tables so the KNN returns it pre-gathered."""
+    return jnp.concatenate([
+        smpl.weights, ctx_pose.pose_offsets, ctx_pose.shape_offsets,
+        ctx_big.pose_offsets], axis=-1)
+
+
+def c2source_tables(smpl: SMPLModel, ctx_src: PoseContext,
+                    ctx_big: PoseContext) -> jnp.ndarray:
+    """Payload for :func:`deform_c2source_from_tables`:
+    [blend weights (24) | big_pose_off (3) | src_shape_off (3) | src_pose_off (3)]."""
+    return jnp.concatenate([
+        smpl.weights, ctx_big.pose_offsets, ctx_src.shape_offsets,
+        ctx_src.pose_offsets], axis=-1)
+
+
+def deform_target2c_from_tables(ctx_pose: PoseContext, ctx_big: PoseContext,
+                                payload: jnp.ndarray, q_pts: jnp.ndarray,
+                                q_dirs: Optional[jnp.ndarray] = None):
+    """Core of the posed->canonical warp given the nearest-vertex payload
+    (see :func:`target2c_tables`).  payload: (N, 33)."""
+    bw = payload[:, :24]
+    pose_off = payload[:, 24:27]
+    shape_off = payload[:, 27:30]
+    big_off = payload[:, 30:33]
+
+    A_pt = (bw @ ctx_pose.A.reshape(24, 16)).reshape(-1, 4, 4)
+    can = q_pts - A_pt[:, :3, 3]
+    R_inv = _inv3(A_pt[:, :3, :3])
+    can = jnp.einsum("nab,nb->na", R_inv, can)
+    if q_dirs is not None:
+        q_dirs = jnp.einsum("nab,nb->na", R_inv, q_dirs)
+
+    # pose/shape blendshape corrections -> mean-shape T pose -> big pose
+    can = can - pose_off - shape_off + big_off
+
+    A_big = (bw @ ctx_big.A.reshape(24, 16)).reshape(-1, 4, 4)
+    can = jnp.einsum("nab,nb->na", A_big[:, :3, :3], can) + A_big[:, :3, 3]
+    if q_dirs is not None:
+        q_dirs = jnp.einsum("nab,nb->na", A_big[:, :3, :3], q_dirs)
+        return can, q_dirs
+    return can
+
+
 def deform_target2c(smpl: SMPLModel, ctx_pose: PoseContext, ctx_big: PoseContext,
                     vid: jnp.ndarray, q_pts: jnp.ndarray,
                     q_dirs: Optional[jnp.ndarray] = None):
@@ -90,24 +141,39 @@ def deform_target2c(smpl: SMPLModel, ctx_pose: PoseContext, ctx_big: PoseContext
     q_pts: (N, 3) points in the target's SMPL coordinate frame;
     vid: (N,) nearest-vertex ids of q_pts against the posed vertices.
     """
-    A_pt, bw = _blend_A(smpl.weights, vid, ctx_pose.A)
-    can = q_pts - A_pt[:, :3, 3]
-    R_inv = _inv3(A_pt[:, :3, :3])
-    can = jnp.einsum("nab,nb->na", R_inv, can)
-    if q_dirs is not None:
-        q_dirs = jnp.einsum("nab,nb->na", R_inv, q_dirs)
+    payload = target2c_tables(smpl, ctx_pose, ctx_big)[vid]
+    return deform_target2c_from_tables(ctx_pose, ctx_big, payload,
+                                       q_pts, q_dirs)
 
-    # pose/shape blendshape corrections -> mean-shape T pose
-    can = can - ctx_pose.pose_offsets[vid] - ctx_pose.shape_offsets[vid]
-    # T pose -> big pose (mean shape)
-    can = can + ctx_big.pose_offsets[vid]
 
-    A_big, _ = _blend_A(smpl.weights, vid, ctx_big.A)
-    can = jnp.einsum("nab,nb->na", A_big[:, :3, :3], can) + A_big[:, :3, 3]
-    if q_dirs is not None:
-        q_dirs = jnp.einsum("nab,nb->na", A_big[:, :3, :3], q_dirs)
-        return can, q_dirs
-    return can
+def deform_c2source_from_tables(ctx_src: PoseContext, ctx_big: PoseContext,
+                                payload: jnp.ndarray, q_pts: jnp.ndarray,
+                                weights_correction: Optional[jnp.ndarray] = None):
+    """Core of the canonical->source warp given the nearest-vertex payload
+    (see :func:`c2source_tables`).  Returns (smpl_src, world_src, bw)."""
+    bw = payload[:, :24]
+    big_off = payload[:, 24:27]
+    shape_off = payload[:, 27:30]
+    pose_off = payload[:, 30:33]
+
+    if weights_correction is not None:
+        bw = bw + 0.2 * weights_correction
+    bw = bw / jnp.sum(bw, axis=-1, keepdims=True)
+
+    A_big = (bw @ ctx_big.A.reshape(24, 16)).reshape(-1, 4, 4)
+    q = q_pts - A_big[:, :3, 3]
+    q = jnp.einsum("nab,nb->na", _inv3(A_big[:, :3, :3]), q)
+
+    # big pose -> T pose (mean shape), then to the source's shape/pose
+    q = q - big_off + shape_off + pose_off
+
+    A_src = (bw @ ctx_src.A.reshape(24, 16)).reshape(-1, 4, 4)
+    smpl_src = jnp.einsum("nab,nb->na", A_src[:, :3, :3], q) + A_src[:, :3, 3]
+
+    # SMPL coords -> world (renderer.py:680-682): smpl = (world - Th) @ R,
+    # so world = smpl @ inv(R) + Th
+    world_src = smpl_src @ _inv3(ctx_src.R) + ctx_src.Th
+    return smpl_src, world_src, bw
 
 
 def deform_c2source(smpl: SMPLModel, ctx_src: PoseContext, ctx_big: PoseContext,
@@ -119,24 +185,6 @@ def deform_c2source(smpl: SMPLModel, ctx_src: PoseContext, ctx_big: PoseContext,
     vid: (N,) nearest-vertex ids of q_pts against the canonical t_vertices.
     Returns (smpl_src_pts, world_src_pts, bweights).
     """
-    bw = smpl.weights[vid]
-    if weights_correction is not None:
-        bw = bw + 0.2 * weights_correction
-    bw = bw / jnp.sum(bw, axis=-1, keepdims=True)
-
-    A_big = (bw @ ctx_big.A.reshape(24, 16)).reshape(-1, 4, 4)
-    q = q_pts - A_big[:, :3, 3]
-    q = jnp.einsum("nab,nb->na", _inv3(A_big[:, :3, :3]), q)
-
-    # big pose -> T pose (mean shape), then to the source's shape/pose
-    q = q - ctx_big.pose_offsets[vid]
-    q = q + ctx_src.shape_offsets[vid]
-    q = q + ctx_src.pose_offsets[vid]
-
-    A_src = (bw @ ctx_src.A.reshape(24, 16)).reshape(-1, 4, 4)
-    smpl_src = jnp.einsum("nab,nb->na", A_src[:, :3, :3], q) + A_src[:, :3, 3]
-
-    # SMPL coords -> world (renderer.py:680-682): smpl = (world - Th) @ R,
-    # so world = smpl @ inv(R) + Th
-    world_src = smpl_src @ _inv3(ctx_src.R) + ctx_src.Th
-    return smpl_src, world_src, bw
+    payload = c2source_tables(smpl, ctx_src, ctx_big)[vid]
+    return deform_c2source_from_tables(ctx_src, ctx_big, payload, q_pts,
+                                       weights_correction)

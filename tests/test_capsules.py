@@ -1,0 +1,70 @@
+"""Capsule prune: conservative superset of the exact vertex-distance test
+(replaces the occupancy-grid prune on the hot path; both feed the exact KNN
+re-test — reference renderer.py:315-321)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sherf_tpu.kernels.capsules import capsule_mask, capsule_radii, prune_mask
+from sherf_tpu.kernels.knn import nn_1_ref
+from sherf_tpu.smpl import synthetic_smpl, smpl_forward
+
+
+def _posed(seed=0, pose_seed=1):
+    smpl = synthetic_smpl(seed)
+    rng = np.random.RandomState(pose_seed)
+    poses = (rng.randn(72) * 0.3).astype(np.float32)
+    shapes = (rng.randn(10) * 0.5).astype(np.float32)
+    verts, joints = smpl_forward(smpl, jnp.asarray(poses), jnp.asarray(shapes))
+    return smpl, verts, joints
+
+
+def test_every_vertex_inside_its_capsule():
+    smpl, verts, joints = _posed()
+    radii = capsule_radii(verts, joints, smpl, margin=0.0)
+    hit = capsule_mask(verts, joints, radii + 1e-5, smpl.parents)
+    assert bool(jnp.all(hit))
+
+
+def test_superset_of_exact_prune():
+    """Points within `radius` of any vertex MUST be inside some capsule —
+    for several random poses (the guarantee is per-frame, pose-free)."""
+    for pose_seed in (1, 2, 3):
+        smpl, verts, joints = _posed(pose_seed=pose_seed)
+        rng = np.random.RandomState(pose_seed + 10)
+        pts = jnp.asarray(rng.uniform(-1.5, 1.5, (20000, 3)).astype(np.float32))
+        radius = 0.05
+        mask = prune_mask(pts, verts, joints, smpl, radius)
+        d2, _ = nn_1_ref(pts, verts)
+        exact = d2 < radius ** 2
+        # conservative: no exact-pass point may be pruned
+        missed = np.asarray(exact & ~mask)
+        assert missed.sum() == 0
+        # and it must actually prune far-away space
+        far = np.asarray(d2 > 0.4 ** 2)
+        kept_far = np.asarray(mask)[far].mean()
+        assert kept_far < 0.35
+
+
+def test_survivor_rate_reasonable():
+    """Capsules should not blow up the compaction budget vs the exact test
+    on body-centered samples (the perf-mode sizing assumption)."""
+    smpl, verts, joints = _posed()
+    rng = np.random.RandomState(0)
+    lo = np.asarray(verts).min(0) - 0.3
+    hi = np.asarray(verts).max(0) + 0.3
+    pts = jnp.asarray(
+        (rng.uniform(0, 1, (50000, 3)) * (hi - lo) + lo).astype(np.float32))
+    mask = prune_mask(pts, verts, joints, smpl, 0.05)
+    d2, _ = nn_1_ref(pts, verts)
+    exact = (np.asarray(d2) < 0.05 ** 2).mean()
+    sup = np.asarray(mask).mean()
+    assert sup < max(6.0 * exact, 0.25), (exact, sup)
+
+
+def test_unassigned_bones_never_hit():
+    smpl, verts, joints = _posed()
+    radii = jnp.full((24,), -1.0)
+    hit = capsule_mask(verts, joints, radii, smpl.parents)
+    assert not bool(jnp.any(hit))

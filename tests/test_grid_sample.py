@@ -43,3 +43,47 @@ def test_grid_sample_3d(align_corners):
     ours = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords),
                                      align_corners=align_corners))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_packed_2d_matches_four_tap():
+    import numpy as np
+    import jax.numpy as jnp
+    from sherf_tpu.kernels.grid_sample import (
+        grid_sample_2d, grid_sample_2d_packed, pack_corners_2d)
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(19, 23, 7).astype(np.float32))
+    packed = pack_corners_2d(img)
+    assert packed.shape == (19, 23, 28)
+    # includes far out-of-bounds, exact-edge and interior coords
+    coords = jnp.asarray(np.concatenate([
+        rng.uniform(-1.3, 1.3, (4000, 2)),
+        [[-1.0, -1.0], [1.0, 1.0], [-1.0, 1.0], [0.0, 0.0], [2.0, 0.0]],
+    ]).astype(np.float32))
+    for ac in (False, True):
+        a = np.asarray(grid_sample_2d(img, coords, align_corners=ac))
+        b = np.asarray(grid_sample_2d_packed(packed, coords,
+                                             align_corners=ac))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_packed_trilinear_matches_ref():
+    import numpy as np
+    import jax.numpy as jnp
+    from sherf_tpu.features.sparseconv import (
+        trilinear_dense_sample, trilinear_dense_sample_packed)
+
+    rng = np.random.RandomState(1)
+    S, C = 300, 5
+    shape = (12, 14, 16)
+    coords = jnp.asarray(np.stack([
+        rng.randint(0, shape[i], S) for i in range(3)], -1).astype(np.int32))
+    feats = jnp.asarray(rng.randn(S, C).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=S) < 0.9)
+    pos = jnp.asarray(np.concatenate([
+        rng.uniform(-1.5, np.asarray(shape) + 0.5, (3000, 3)),
+        [[0.0, 0.0, 0.0], [11.0, 13.0, 15.0], [-0.4, 2.2, 3.7]],
+    ]).astype(np.float32))
+    a = np.asarray(trilinear_dense_sample_packed(feats, coords, valid, shape, pos))
+    b = np.asarray(trilinear_dense_sample(feats, coords, valid, shape, pos))
+    np.testing.assert_allclose(a, b, atol=1e-5)

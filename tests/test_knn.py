@@ -43,3 +43,70 @@ def test_nn_pallas_interpret_matches_ref():
     od2, oidx = _oracle(q, r)
     np.testing.assert_allclose(np.asarray(d2), od2, atol=1e-3)
     assert (np.asarray(idx) == oidx).mean() > 0.995
+
+
+def test_nn_1_tables_matches_gather():
+    import numpy as np
+    import jax.numpy as jnp
+    from sherf_tpu.kernels.knn import nn_1_ref, nn_1_tables
+    from sherf_tpu.kernels.knn_pallas import nn_1_tables_pallas
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1500, 3).astype(np.float32))
+    v = jnp.asarray(rng.randn(900, 3).astype(np.float32))
+    tab = jnp.asarray(rng.randn(900, 33).astype(np.float32))
+
+    d_ref, i_ref = nn_1_ref(q, v)
+    pay_ref = np.asarray(tab)[np.asarray(i_ref)]
+
+    d, i, pay = nn_1_tables(q, v, tab)  # dispatches to jnp path on CPU
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(pay), pay_ref)
+
+    # the pallas kernel itself, in interpreter mode
+    d2, i2, pay2 = nn_1_tables_pallas(q, v, tab, interpret=True)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(pay2), pay_ref, atol=1e-6)
+
+
+def test_payload_warps_match_vid_warps():
+    import numpy as np
+    import jax.numpy as jnp
+    from sherf_tpu.smpl import synthetic_smpl
+    from sherf_tpu.core.types import SMPLPose
+    from sherf_tpu.nerf.warp import (
+        make_pose_context, deform_target2c, deform_c2source,
+        deform_target2c_from_tables, deform_c2source_from_tables,
+        target2c_tables, c2source_tables)
+
+    smpl = synthetic_smpl(0)
+    rng = np.random.RandomState(1)
+
+    def pose(seed):
+        r = np.random.RandomState(seed)
+        return SMPLPose(poses=jnp.asarray(r.randn(72).astype(np.float32)) * 0.2,
+                        shapes=jnp.asarray(r.randn(10).astype(np.float32)) * 0.3,
+                        R=jnp.eye(3), Th=jnp.asarray(r.randn(3).astype(np.float32)))
+
+    ctx_t = make_pose_context(smpl, pose(2))
+    ctx_b = make_pose_context(smpl, pose(3))
+    q = jnp.asarray(rng.randn(500, 3).astype(np.float32))
+    qd = jnp.asarray(rng.randn(500, 3).astype(np.float32))
+    vid = jnp.asarray(rng.randint(0, 6890, 500).astype(np.int32))
+
+    a1, d1 = deform_target2c(smpl, ctx_t, ctx_b, vid, q, qd)
+    pay = target2c_tables(smpl, ctx_t, ctx_b)[vid]
+    a2, d2 = deform_target2c_from_tables(ctx_t, ctx_b, pay, q, qd)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+    s1, w1, b1 = deform_c2source(smpl, ctx_t, ctx_b, vid, q)
+    pay2 = c2source_tables(smpl, ctx_t, ctx_b)[vid]
+    s2, w2, b2 = deform_c2source_from_tables(ctx_t, ctx_b, pay2, q)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-6)
