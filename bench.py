@@ -19,7 +19,8 @@ import numpy as np
 REFERENCE_FPS_BASELINE = 0.5  # A100 torch reference estimate (BASELINE.md)
 
 
-def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 24.0):
+def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 24.0,
+         ray_frac=0.375):
     import jax
     import jax.numpy as jnp
 
@@ -36,9 +37,11 @@ def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 24.0):
     t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
                                       jnp.asarray(bp["shapes"]))[0])
     _, out_sh = prepare_voxel_volume(t_verts)
+    # ray budget: the synthetic scene's mask_at_box covers ~30% of rays;
+    # 37.5% static budget keeps every hitting ray (exact) with headroom
     cfg = ModelConfig(compute_dtype="bfloat16", render=RenderConfig(
         depth_resolution=depth, point_capacity_frac=capacity_frac,
-        density_noise=0.0))
+        ray_capacity_frac=ray_frac, density_noise=0.0))
     model = SHERFGenerator(cfg, out_sh=out_sh)
     batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
 

@@ -46,6 +46,10 @@ class RenderConfig:
     # strict supersets of the exact vertex-distance test, which is always
     # re-applied on the compacted survivors.
     prune_mode: str = "capsule"
+    # Static budget of AABB-hitting rays, as a fraction of the total ray
+    # count (1.0 = no ray compaction).  Exact as long as the budget covers
+    # every ray whose mask_at_box is set; overflow rays render background.
+    ray_capacity_frac: float = 1.0
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self))

@@ -10,8 +10,14 @@ from sherf_tpu.features.stylegan2 import (
     normalize_2nd_moment,
 )
 from sherf_tpu.features.sparseconv import SparseConvNet, prepare_voxel_volume
+from sherf_tpu.features.stylegan3 import (
+    SG3Generator,
+    SynthesisInput,
+)
 
 __all__ = [
+    "SG3Generator",
+    "SynthesisInput",
     "positional_encoding",
     "PlaneTransformer",
     "ResNet18",

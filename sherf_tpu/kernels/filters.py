@@ -180,6 +180,33 @@ def downsample2d(x, f, down=2, padding=0, flip_filter=False, gain=1.0):
 
 
 # ---------------------------------------------------------------------------
+# filtered_lrelu (reference torch_utils/ops/filtered_lrelu.py:58-158)
+
+def filtered_lrelu(x: jnp.ndarray, fu: Optional[np.ndarray] = None,
+                   fd: Optional[np.ndarray] = None,
+                   b: Optional[jnp.ndarray] = None, up: int = 1, down: int = 1,
+                   padding=0, gain: float = float(np.sqrt(2)),
+                   slope: float = 0.2, clamp: Optional[float] = None,
+                   flip_filter: bool = False) -> jnp.ndarray:
+    """StyleGAN3's fused upsample -> leaky-relu -> downsample.
+
+    TPU equivalent of the reference's 1.8k-line CUDA kernel
+    (filtered_lrelu.{cpp,cu}); semantics follow `_filtered_lrelu_ref`
+    exactly — on TPU the zero-stuff/FIR/stride decomposition lowers to
+    convolutions XLA fuses, so there is nothing to hand-schedule.
+
+    x: (N, H, W, C).  fu/fd: 2D numpy FIR filters (or None = identity).
+    """
+    px0, px1, py0, py1 = _parse_padding(padding)
+    x = bias_act(x, b)
+    x = upfirdn2d(x, fu, up=up, padding=[px0, px1, py0, py1],
+                  gain=up ** 2, flip_filter=flip_filter)
+    x = bias_act(x, act="lrelu", alpha=slope, gain=gain, clamp=clamp)
+    x = upfirdn2d(x, fd, down=down, flip_filter=flip_filter)
+    return x
+
+
+# ---------------------------------------------------------------------------
 # conv2d_resample
 
 def conv2d_resample(x: jnp.ndarray, w: jnp.ndarray, f: Optional[np.ndarray] = None,

@@ -150,7 +150,8 @@ class SHERFGenerator(nn.Module):
             batch.ray_o, batch.ray_d, batch.near, batch.far,
             ctx_target, ctx_big, ctx_obs,
             batch.vertices, batch.t_vertices, batch.t_bounds,
-            batch.obs_K, batch.obs_R, batch.obs_T, smpl, train=train)
+            batch.obs_K, batch.obs_R, batch.obs_T, smpl, train=train,
+            ray_mask=batch.mask_at_box)
 
         H, W = batch.img.shape[1:3]
         out = {

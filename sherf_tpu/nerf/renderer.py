@@ -44,7 +44,7 @@ from sherf_tpu.kernels.compaction import compact_mask
 from sherf_tpu.kernels.knn import nn_1_tables
 from sherf_tpu.kernels.occupancy import occupancy_mask
 from sherf_tpu.nerf.decoders import NeRFDecoder, OSGDecoder
-from sherf_tpu.nerf.march import ray_march
+from sherf_tpu.nerf.march import ray_march, ray_march_segmented
 from sherf_tpu.nerf.warp import (
     PoseContext, c2source_tables, deform_c2source_from_tables,
     deform_target2c_from_tables, target2c_tables,
@@ -144,12 +144,46 @@ class SHERFRenderer(nn.Module):
                  obs_K: jnp.ndarray, obs_R: jnp.ndarray,   # (B, 3, 3)
                  obs_T: jnp.ndarray,                 # (B, 3, 1)
                  smpl: SMPLModel,
-                 train: bool = False):
+                 train: bool = False,
+                 ray_mask: Optional[jnp.ndarray] = None):  # (B, N) bool
         cfg = self.cfg
         rc = cfg.render
         cdt = self.compute_dtype
         B, N = ray_o.shape[:2]
         D = rc.depth_resolution
+
+        # ---- ray compaction: rays whose AABB test missed (mask_at_box
+        # False) march to background exactly (all their samples are > 5 cm
+        # from the body), so restrict the whole per-sample pipeline to a
+        # static budget of hitting rays and scatter the composited pixels
+        # back at the end.  Full-N outputs are bit-equal as long as the
+        # budget covers every hitting ray.
+        N_full = N
+        ray_sel = None
+        if (ray_mask is not None and rc.ray_capacity_frac < 1.0
+                and rc.point_capacity_frac < 1.0):
+            ray_mask = ray_mask.reshape(B, -1).astype(bool)
+            depth_lo = jnp.min(near, axis=1)           # (B,) dense-path clip
+            depth_hi = jnp.max(far, axis=1)
+            rcap = _round_up(max(int(N * rc.ray_capacity_frac), 128), 128)
+            if jax.default_backend() in ("tpu", "axon"):
+                pairs = [compact_mask(ray_mask[b], rcap) for b in range(B)]
+                ridx = jnp.stack([p[0] for p in pairs])
+                rvalid = jnp.stack([p[1] for p in pairs])
+            else:
+                ridx, rvalid = jax.vmap(
+                    lambda m: _compact_indices(m, rcap))(ray_mask)
+            gr = jnp.minimum(ridx, N - 1)
+            # invalid tail rays park far outside the body so the capsule
+            # prune drops every one of their samples (zero budget consumed)
+            ray_o = jnp.where(rvalid[..., None],
+                              jnp.take_along_axis(ray_o, gr[..., None], axis=1),
+                              1e6)
+            ray_d = jnp.take_along_axis(ray_d, gr[..., None], axis=1)
+            near = jnp.take_along_axis(near, gr, axis=1)
+            far = jnp.take_along_axis(far, gr, axis=1)
+            ray_sel = (ridx, rvalid, depth_lo, depth_hi)
+            N = rcap
         if planes is not None:
             planes = planes.astype(cdt)
         if obs_feat is not None:
@@ -186,7 +220,11 @@ class SHERFRenderer(nn.Module):
                 occ = jax.vmap(
                     lambda qq, vv: occupancy_mask(qq, vv, radius=radius)
                 )(pts, vertices)
-            cap = _round_up(max(int(M * rc.point_capacity_frac), 128), 128)
+            # capacity is defined on the FULL candidate set so that ray
+            # compaction does not silently shrink the point budget
+            cap = _round_up(max(int(N_full * D * rc.point_capacity_frac), 128),
+                            128)
+            cap = min(cap, M)
             if jax.default_backend() in ("tpu", "axon"):
                 # pallas streaming compaction (kernels/compaction.py); python
                 # loop over the small static batch — the kernel's sequential
@@ -242,17 +280,39 @@ class SHERFRenderer(nn.Module):
             noise = jax.random.normal(self.make_rng("density"), sigma_pts.shape)
             sigma_pts = sigma_pts + noise * rc.density_noise
 
-        # ---- scatter back with -80 density outside the body (renderer.py:364-371)
         if idx is not None:
-            colors = jnp.zeros((B, M, 3)).at[
-                jnp.arange(B)[:, None], idx].set(rgb_pts * exact_s[..., None],
-                                                 mode="drop")
-            dens = jnp.full((B, M), -80.0).at[
-                jnp.arange(B)[:, None], idx].set(
-                jnp.where(exact_s, sigma_pts, -80.0), mode="drop")
-        else:
-            colors = rgb_pts * exact_s[..., None]
-            dens = jnp.where(exact_s, sigma_pts, -80.0)
+            # ---- composite the compacted points directly (segmented march):
+            # equivalent to the reference's scatter-back-with-density--80 +
+            # dense march (renderer.py:364-371), without materializing the
+            # (N, D) sample grid.
+            clip = (None if ray_sel is None
+                    else (ray_sel[2], ray_sel[3]))
+            rgb, depth, acc = jax.vmap(
+                lambda c, s, gi, va, nr, fr, rd, *cl: ray_march_segmented(
+                    c, s, gi, va, nr, fr, rd, D, clamp_mode=rc.clamp_mode,
+                    white_back=rc.white_back,
+                    depth_clip=(cl if cl else None))
+            )(rgb_pts, jnp.where(exact_s, sigma_pts, -80.0), idx,
+              valid, near, far, ray_d, *(clip if clip else ()))
+            if ray_sel is None:
+                return rgb, depth, acc
+            # ---- scatter the composited pixels back to the full ray set;
+            # non-hitting rays get the dense path's empty-ray values
+            ridx, rvalid, depth_lo, depth_hi = ray_sel
+            empty_rgb = 1.0 if rc.white_back else -1.0
+            bi = jnp.arange(B)[:, None]
+            rgb_f = jnp.full((B, N_full, 3), empty_rgb).at[bi, ridx].set(
+                jnp.where(rvalid[..., None], rgb, empty_rgb), mode="drop")
+            depth_f = jnp.broadcast_to(depth_hi[:, None], (B, N_full)).at[
+                bi, ridx].set(jnp.where(rvalid, depth, depth_hi[:, None]),
+                              mode="drop")
+            acc_f = jnp.zeros((B, N_full)).at[bi, ridx].set(
+                jnp.where(rvalid, acc, 0.0), mode="drop")
+            return rgb_f, depth_f, acc_f
+
+        # ---- parity mode: scatter-free dense grid march (renderer.py:364-371)
+        colors = rgb_pts * exact_s[..., None]
+        dens = jnp.where(exact_s, sigma_pts, -80.0)
 
         colors = colors.reshape(B, N, D, 3)
         dens = dens.reshape(B, N, D)

@@ -96,3 +96,26 @@ def test_bf16_compute_path(setup):
     out16 = jax.jit(lambda v, b: model16.apply(v, b, smpl))(variables, batch)
     assert out16["image_raw"].dtype == jnp.float32
     assert bool(jnp.isfinite(out16["image_raw"]).all())
+
+
+def test_ray_compaction_matches_uncompacted(setup):
+    """ray_capacity_frac < 1 (compact AABB-hitting rays, segmented march,
+    pixel scatter-back) must agree with the same point-compacted model at
+    full ray count when the budget covers every hitting ray."""
+    smpl, cfg, out_sh, model, batch, variables = setup
+
+    def build(ray_frac):
+        c = ModelConfig(
+            backbone_resolution=64, voxel_size=0.02,
+            render=RenderConfig(depth_resolution=D, point_capacity_frac=0.5,
+                                ray_capacity_frac=ray_frac))
+        return SHERFGenerator(c, out_sh=out_sh)
+
+    out_a = jax.jit(lambda v, b: build(1.0).apply(v, b, smpl))(variables, batch)
+    out_b = jax.jit(lambda v, b: build(0.9).apply(v, b, smpl))(variables, batch)
+    np.testing.assert_allclose(np.asarray(out_b["image_raw"]),
+                               np.asarray(out_a["image_raw"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_b["weights_image"]),
+                               np.asarray(out_a["weights_image"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_b["image_depth"]),
+                               np.asarray(out_a["image_depth"]), atol=1e-3)
