@@ -187,6 +187,62 @@ def trilinear_dense_sample(feats, coords, valid, shape, pos):
     return out
 
 
+def trilinear_dense_sample_x(feats, coords, valid, shape, pos):
+    """Trilinear interpolation via an X-PACKED dense grid — 4 row gathers
+    per query instead of 8 (one per (d, h) corner pair; each packed row
+    holds both w corners).  Bit-identical to :func:`trilinear_dense_sample`:
+    the same per-corner f32 weights are cast to the feature dtype before the
+    multiply, and out-of-bounds corners contribute exact zeros.
+
+    TPU gather cost is ~flat in row width but linear in tap count, and tap
+    pairs pipeline (tools/profile_gather_law.py), so halving the taps
+    halves the dominant cost of the 3D feature bank.
+
+    feats: (S, C); coords: (S, 3) int dhw; pos: (N, 3) float voxel coords.
+    """
+    D, H, W = shape
+    size = D * H * W
+    C = feats.shape[-1]
+    ok = valid & _inbounds(coords, shape)
+    flat = jnp.where(ok, _flat(coords, shape), size)
+    dense = jnp.zeros((size, C), feats.dtype).at[flat].set(
+        feats * ok[:, None].astype(feats.dtype), mode="drop")
+    dense = dense.reshape(D, H, W, C)
+    p = jnp.pad(dense, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    packed = jnp.concatenate([p[:, :, :W], p[:, :, 1:W + 1]],
+                             axis=-1).reshape(size, 2 * C)
+
+    p0 = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - p0.astype(pos.dtype)
+    z0, y0, x0 = p0[:, 0], p0[:, 1], p0[:, 2]
+    fz, fy, fx = frac[:, 0], frac[:, 1], frac[:, 2]
+
+    bx = jnp.clip(x0, 0, W - 1)
+    # x-corner group of the base row: corner x0+dx sits in channel group
+    # clip(x0+dx-bx, 0, 1); OOB x corners get weight zero
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            cz = z0 + dz
+            cy = y0 + dy
+            okzy = (cz >= 0) & (cz < D) & (cy >= 0) & (cy < H)
+            rows = jnp.take(
+                packed,
+                (jnp.clip(cz, 0, D - 1) * H + jnp.clip(cy, 0, H - 1)) * W + bx,
+                axis=0)
+            wzy = (jnp.where(dz == 1, fz, 1.0 - fz)
+                   * jnp.where(dy == 1, fy, 1.0 - fy))
+            for dx in (0, 1):
+                cx = x0 + dx
+                okx = (cx >= 0) & (cx < W)
+                g1 = jnp.clip(cx - bx, 0, 1)  # 0 or 1: channel group
+                w = (wzy * jnp.where(dx == 1, fx, 1.0 - fx)
+                     * (okzy & okx)).astype(feats.dtype)[:, None]
+                grp = jnp.where(g1[:, None] == 0, rows[:, :C], rows[:, C:])
+                out = out + grp * w
+    return out
+
+
 _CORNERS8 = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
                      -1).reshape(8, 3)
 
@@ -356,7 +412,7 @@ class SparseConvNet(nn.Module):
             # reference convention (renderer.py:544-556 + grid_sample
             # align_corners=True): u = dhw/out_sh*2-1 over the scale-s volume
             scale = (np.asarray(s, np.float32) - 1.0) / full
-            return trilinear_dense_sample(f, c, v, s, query_dhw * scale)
+            return trilinear_dense_sample_x(f, c, v, s, query_dhw * scale)
 
         if self.num_layers > 1:
             feats = SparseStage(32, 2, name="conv1")(feats, coords, grid, shape, valid, train)

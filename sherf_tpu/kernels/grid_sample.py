@@ -109,6 +109,54 @@ def grid_sample_2d_packed(packed: jnp.ndarray, coords: jnp.ndarray,
     return jnp.einsum("nk,nkc->nc", wgrp, rows)
 
 
+def pack_x_2d(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (H, W, 2C): channels [0:C] = img[y, x], [C:2C] =
+    img[y, x+1] (zeros past the right edge).
+
+    Row-gather cost on TPU is ~flat up to ~128-byte rows, then grows with
+    width; x-only packing halves the tap count of bilinear sampling while
+    keeping rows narrow (<=64ch bf16), where the full 4-corner pack's 4C
+    rows already pay the width tax."""
+    H, W, _ = img.shape
+    p = jnp.pad(img, ((0, 0), (0, 1), (0, 0)))
+    return jnp.concatenate([p[:, :W], p[:, 1:W + 1]], axis=-1)
+
+
+def grid_sample_2d_xpacked(packed: jnp.ndarray, coords: jnp.ndarray,
+                           align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear sample from an x-packed image — two row gathers per point
+    (one per y corner).  packed: (H, W, 2C) from :func:`pack_x_2d`;
+    coords: (N, 2) normalized (x, y).  Matches grid_sample_2d exactly."""
+    H, W, C2 = packed.shape
+    C = C2 // 2
+    x = _unnormalize(coords[:, 0], W, align_corners)
+    y = _unnormalize(coords[:, 1], H, align_corners)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1, y1 = x0 + 1, y0 + 1
+    # weights stay f32 (matching grid_sample_2d's promotion semantics)
+    wx = x - x0.astype(x.dtype)
+    wy = (y - y0.astype(y.dtype))[:, None]
+
+    # x-group weights at the clipped base column (handles x0 == -1, where
+    # the needed in-bounds corner x1 = 0 sits in group 0 of base 0)
+    bx = jnp.clip(x0, 0, W - 1)
+    okx0 = ((x0 >= 0) & (x0 < W)).astype(x.dtype)
+    okx1 = ((x1 >= 0) & (x1 < W)).astype(x.dtype)
+    g0 = ((1 - wx) * okx0 * (x0 == bx) + wx * okx1 * (x1 == bx))[:, None]
+    g1 = ((1 - wx) * okx0 * (x0 == bx + 1)
+          + wx * okx1 * (x1 == bx + 1))[:, None]
+
+    flat = packed.reshape(H * W, C2)
+
+    def row_term(yc):
+        oky = ((yc >= 0) & (yc < H))[:, None].astype(x.dtype)
+        rows = jnp.take(flat, jnp.clip(yc, 0, H - 1) * W + bx, axis=0)
+        return (rows[:, :C] * g0 + rows[:, C:] * g1) * oky
+
+    return row_term(y0) * (1 - wy) + row_term(y1) * wy
+
+
 def _gather_corners_3d(vol, ix, iy, iz):
     """vol: (D, H, W, C); indices (N,) int32."""
     D, H, W, _ = vol.shape

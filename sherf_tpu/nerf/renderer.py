@@ -38,7 +38,8 @@ from sherf_tpu.features.encoding import positional_encoding
 from sherf_tpu.features.sparseconv import SparseConvNet, world_to_voxel_f
 from sherf_tpu.features.transformer import PlaneTransformer
 from sherf_tpu.geometry.rays import project_points
-from sherf_tpu.kernels.grid_sample import grid_sample_2d
+from sherf_tpu.kernels.grid_sample import (
+    grid_sample_2d, grid_sample_2d_xpacked, pack_x_2d)
 from sherf_tpu.kernels.capsules import prune_mask
 from sherf_tpu.kernels.compaction import compact_mask
 from sherf_tpu.kernels.knn import nn_1_tables
@@ -58,14 +59,17 @@ def sample_from_planes(planes: jnp.ndarray, pts_norm: jnp.ndarray) -> jnp.ndarra
     generate_planes:192-216: xy / xz / zy).
 
     planes: (3, H, W, C); pts_norm: (M, 3) in [-1, 1].  Returns (3, M, C).
+    X-packs each plane first (one-time, tiny vs the per-point lookups) so
+    each bilinear tap pair costs one row gather — ~2x fewer gathers on the
+    frame's largest gather population.
     """
     uv0 = pts_norm[:, (0, 1)]
     uv1 = pts_norm[:, (0, 2)]
     uv2 = pts_norm[:, (2, 1)]
     return jnp.stack([
-        grid_sample_2d(planes[0], uv0, align_corners=False),
-        grid_sample_2d(planes[1], uv1, align_corners=False),
-        grid_sample_2d(planes[2], uv2, align_corners=False),
+        grid_sample_2d_xpacked(pack_x_2d(planes[0]), uv0, align_corners=False),
+        grid_sample_2d_xpacked(pack_x_2d(planes[1]), uv1, align_corners=False),
+        grid_sample_2d_xpacked(pack_x_2d(planes[2]), uv2, align_corners=False),
     ])
 
 
@@ -359,10 +363,12 @@ class SHERFRenderer(nn.Module):
             wh = jnp.asarray([obs_img.shape[2], obs_img.shape[1]], jnp.float32)
             uv_n = 2.0 * uv / wh - 1.0
             pix_feat = jax.vmap(
-                lambda im, c: grid_sample_2d(im, c, align_corners=True)
+                lambda im, c: grid_sample_2d_xpacked(pack_x_2d(im), c,
+                                                     align_corners=True)
             )(obs_feat, uv_n)
             pix_rgb = jax.vmap(
-                lambda im, c: grid_sample_2d(im, c, align_corners=True)
+                lambda im, c: grid_sample_2d_xpacked(pack_x_2d(im), c,
+                                                     align_corners=True)
             )(obs_img, uv_n)
             rgb_feat = positional_encoding(pix_rgb, 5)[..., :32]  # 33 -> 32 quirk
             p2d = jnp.concatenate([pix_feat, rgb_feat], axis=-1)  # (B, cap, 96)

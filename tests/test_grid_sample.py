@@ -87,3 +87,53 @@ def test_packed_trilinear_matches_ref():
     a = np.asarray(trilinear_dense_sample_packed(feats, coords, valid, shape, pos))
     b = np.asarray(trilinear_dense_sample(feats, coords, valid, shape, pos))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_xpacked_2d_matches_four_tap():
+    """x-only corner packing (the production fast path: 2 row gathers per
+    bilinear sample, rows stay narrow) is bit-compatible with the 4-tap
+    reference formulation."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sherf_tpu.kernels.grid_sample import (
+        grid_sample_2d, grid_sample_2d_xpacked, pack_x_2d)
+
+    rng = np.random.RandomState(3)
+    for dt in (jnp.float32, jnp.bfloat16):
+        img = jnp.asarray(rng.randn(19, 23, 7).astype(np.float32), dt)
+        packed = pack_x_2d(img)
+        assert packed.shape == (19, 23, 14)
+        coords = jnp.asarray(np.concatenate([
+            rng.uniform(-1.3, 1.3, (4000, 2)),
+            [[-1.0, -1.0], [1.0, 1.0], [-1.0, 1.0], [0.0, 0.0], [2.0, 0.0]],
+        ]).astype(np.float32))
+        for ac in (False, True):
+            a = np.asarray(grid_sample_2d(img, coords, align_corners=ac))
+            b = np.asarray(grid_sample_2d_xpacked(packed, coords,
+                                                  align_corners=ac))
+            assert (a == b).all(), f"dt={dt} ac={ac}"
+
+
+def test_xpacked_trilinear_matches_ref():
+    """4-row-gather x-packed trilinear readout (production 3D bank path)
+    is bit-identical to the 8-gather dense formulation."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sherf_tpu.features.sparseconv import (
+        trilinear_dense_sample, trilinear_dense_sample_x)
+
+    rng = np.random.RandomState(4)
+    S, C = 300, 5
+    shape = (12, 14, 16)
+    coords = jnp.asarray(np.stack([
+        rng.randint(0, shape[i], S) for i in range(3)], -1).astype(np.int32))
+    valid = jnp.asarray(rng.uniform(size=S) < 0.9)
+    pos = jnp.asarray(np.concatenate([
+        rng.uniform(-1.5, np.asarray(shape) + 0.5, (3000, 3)),
+        [[0.0, 0.0, 0.0], [11.0, 13.0, 15.0], [-0.4, 2.2, 3.7]],
+    ]).astype(np.float32))
+    for dt in (jnp.float32, jnp.bfloat16):
+        feats = jnp.asarray(rng.randn(S, C).astype(np.float32), dt)
+        a = np.asarray(trilinear_dense_sample(feats, coords, valid, shape, pos))
+        b = np.asarray(trilinear_dense_sample_x(feats, coords, valid, shape, pos))
+        assert (a == b).all(), f"dt={dt}"

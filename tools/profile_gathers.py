@@ -49,7 +49,9 @@ def main(N=524288, M=512 * 512 * 48):
     bp = big_pose_params()
     t_verts = smpl_forward(smpl, jnp.asarray(bp["poses"]),
                            jnp.asarray(bp["shapes"]))[0]
-    coords, out_sh = prepare_voxel_volume(np.asarray(t_verts))
+    min_dhw, out_sh = prepare_voxel_volume(np.asarray(t_verts))
+    from sherf_tpu.features.sparseconv import voxelize_coords
+    coords = np.asarray(voxelize_coords(jnp.asarray(t_verts), min_dhw))
     print(f"N={N} queries, out_sh={out_sh}", file=sys.stderr)
 
     dt = jnp.bfloat16
