@@ -20,13 +20,15 @@ REFERENCE_FPS_BASELINE = 0.5  # A100 torch reference estimate (BASELINE.md)
 
 
 def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 24.0,
-         ray_frac=0.375):
+         ray_frac=0.375, exact_frac=1.0 / 48.0):
     import jax
     import jax.numpy as jnp
 
     from sherf_tpu.core.config import ModelConfig, RenderConfig
     from sherf_tpu.data import make_synthetic_batch
     from sherf_tpu.features.sparseconv import prepare_voxel_volume
+    from sherf_tpu.kernels.knn import nn_1
+    from sherf_tpu.kernels.occupancy import occupancy_mask
     from sherf_tpu.models import SHERFGenerator
     from sherf_tpu.smpl import synthetic_smpl, smpl_forward, big_pose_params
 
@@ -41,9 +43,33 @@ def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 24.0,
     # 37.5% static budget keeps every hitting ray (exact) with headroom
     cfg = ModelConfig(compute_dtype="bfloat16", render=RenderConfig(
         depth_resolution=depth, point_capacity_frac=capacity_frac,
-        ray_capacity_frac=ray_frac, density_noise=0.0))
+        ray_capacity_frac=ray_frac, exact_capacity_frac=exact_frac,
+        density_noise=0.0))
     model = SHERFGenerator(cfg, out_sh=out_sh)
     batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
+
+    # ---- budget validation: the static capacities must cover the scene's
+    # true survivor counts or the render silently truncates body samples
+    M = H * W * depth
+    steps = jnp.linspace(0.0, 1.0, depth)
+    dvals = batch.near[0][:, None] + (batch.far[0]
+                                      - batch.near[0])[:, None] * steps
+    pts = (batch.ray_o[0][:, None]
+           + dvals[..., None] * batch.ray_d[0][:, None]).reshape(-1, 3)
+    occ_n = int(jax.jit(lambda p, v: occupancy_mask(p, v).sum())(
+        pts, batch.vertices[0]))
+    assert occ_n <= int(M * capacity_frac), \
+        f"voxel survivors {occ_n} overflow point budget {int(M * capacity_frac)}"
+    d2 = jax.jit(lambda q, v: nn_1(q, v)[0])(pts[::8], batch.vertices[0])
+    exact_n = int((d2 < 0.05 ** 2).sum()) * 8
+    assert exact_n <= int(M * exact_frac), \
+        f"~{exact_n} exact survivors overflow exact budget {int(M * exact_frac)}"
+    hit = int(np.asarray(batch.mask_at_box[0]).astype(bool).sum())
+    assert hit <= int(H * W * ray_frac), \
+        f"{hit} AABB-hitting rays overflow ray budget {int(H * W * ray_frac)}"
+    print(f"budgets: rays {hit}/{int(H * W * ray_frac)}, "
+          f"voxel {occ_n}/{int(M * capacity_frac)}, "
+          f"exact ~{exact_n}/{int(M * exact_frac)}", file=sys.stderr)
 
     # init on tiny shapes — the param structure is resolution-independent
     t0 = time.perf_counter()

@@ -41,11 +41,19 @@ class RenderConfig:
     point_capacity_frac: float = 1.0
     # Ray chunk size for lax.map chunking of the per-point pipeline.
     ray_chunk: int = 65536
-    # Conservative prune stage feeding the compaction: 'capsule' (pure
-    # compute, fastest on TPU), 'voxel' (dilated occupancy grid).  Both are
+    # Conservative prune stage feeding the compaction: 'voxel' (dilated
+    # occupancy grid, ~3-4% selectivity), 'capsule' (pure compute, but the
+    # per-bone radii over-cover badly — measured 97% of AABB-hitting
+    # samples pass, which overflows any useful point budget).  Both are
     # strict supersets of the exact vertex-distance test, which is always
     # re-applied on the compacted survivors.
-    prune_mode: str = "capsule"
+    prune_mode: str = "voxel"
+    # Second-stage static budget (fraction of total samples) applied AFTER
+    # the exact 5cm test: exact failures composite as empty space either
+    # way, so dropping them before the feature banks halves the per-point
+    # work.  1.0 disables the second compaction.  Only active when
+    # point_capacity_frac < 1.
+    exact_capacity_frac: float = 1.0
     # Static budget of AABB-hitting rays, as a fraction of the total ray
     # count (1.0 = no ray compaction).  Exact as long as the budget covers
     # every ray whose mask_at_box is set; overflow rays render background.

@@ -243,6 +243,64 @@ def trilinear_dense_sample_x(feats, coords, valid, shape, pos):
     return out
 
 
+def trilinear_dense_sample_xy(feats, coords, valid, shape, pos):
+    """Trilinear interpolation via an XY-PACKED dense grid — 2 row gathers
+    per query (one per z corner; each packed row holds the 2x2 (h, w)
+    corner block).  Bit-identical to :func:`trilinear_dense_sample` (same
+    per-corner f32 weights cast to the feature dtype before multiply, exact
+    zeros outside).
+
+    feats: (S, C); coords: (S, 3) int dhw; pos: (N, 3) float voxel coords.
+    """
+    D, H, W = shape
+    size = D * H * W
+    C = feats.shape[-1]
+    ok = valid & _inbounds(coords, shape)
+    flat = jnp.where(ok, _flat(coords, shape), size)
+    dense = jnp.zeros((size, C), feats.dtype).at[flat].set(
+        feats * ok[:, None].astype(feats.dtype), mode="drop")
+    dense = dense.reshape(D, H, W, C)
+    p = jnp.pad(dense, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    packed = jnp.concatenate([
+        p[:, :H, :W], p[:, :H, 1:W + 1],
+        p[:, 1:H + 1, :W], p[:, 1:H + 1, 1:W + 1],
+    ], axis=-1).reshape(size, 4 * C)
+
+    p0 = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - p0.astype(pos.dtype)
+    z0, y0, x0 = p0[:, 0], p0[:, 1], p0[:, 2]
+    fz, fy, fx = frac[:, 0], frac[:, 1], frac[:, 2]
+
+    by = jnp.clip(y0, 0, H - 1)
+    bx = jnp.clip(x0, 0, W - 1)
+    out = 0.0
+    for dz in (0, 1):
+        cz = z0 + dz
+        okz = (cz >= 0) & (cz < D)
+        rows = jnp.take(
+            packed, (jnp.clip(cz, 0, D - 1) * H + by) * W + bx, axis=0)
+        wz = jnp.where(dz == 1, fz, 1.0 - fz)
+        for dy in (0, 1):
+            cy = y0 + dy
+            oky = (cy >= 0) & (cy < H)
+            gy = jnp.clip(cy - by, 0, 1)
+            wzy = wz * jnp.where(dy == 1, fy, 1.0 - fy)
+            for dx in (0, 1):
+                cx = x0 + dx
+                okx = (cx >= 0) & (cx < W)
+                gx = jnp.clip(cx - bx, 0, 1)
+                g = gy * 2 + gx  # channel group 0..3
+                w = (wzy * jnp.where(dx == 1, fx, 1.0 - fx)
+                     * (okz & oky & okx)).astype(feats.dtype)[:, None]
+                # branchless group select (no per-point gather)
+                grp = jnp.where((g == 0)[:, None], rows[:, :C], 0.0)
+                grp = jnp.where((g == 1)[:, None], rows[:, C:2 * C], grp)
+                grp = jnp.where((g == 2)[:, None], rows[:, 2 * C:3 * C], grp)
+                grp = jnp.where((g == 3)[:, None], rows[:, 3 * C:], grp)
+                out = out + grp.astype(feats.dtype) * w
+    return out
+
+
 _CORNERS8 = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
                      -1).reshape(8, 3)
 

@@ -250,6 +250,36 @@ class SHERFRenderer(nn.Module):
             d2_s, vid_s, pay_t2c = jax.vmap(nn_1_tables)(q_s, tar_smpl,
                                                          tab_t2c)
             exact_s = valid & (d2_s < rc.prune_threshold_sq)
+
+            # ---- second compaction: exact-test failures composite as empty
+            # space (sigma -80 -> relu -> 0 == a hole in the segmented
+            # march), so drop them BEFORE the expensive per-point feature
+            # banks and run everything downstream on a tighter budget.
+            if rc.exact_capacity_frac < 1.0:
+                cap2 = _round_up(
+                    max(int(N_full * D * rc.exact_capacity_frac), 128), 128)
+                cap2 = min(cap2, cap)
+                if jax.default_backend() in ("tpu", "axon"):
+                    pairs = [compact_mask(exact_s[b], cap2) for b in range(B)]
+                    idx2 = jnp.stack([p[0] for p in pairs])
+                    valid2 = jnp.stack([p[1] for p in pairs])
+                else:
+                    idx2, valid2 = jax.vmap(
+                        lambda m: _compact_indices(m, cap2))(exact_s)
+                g2 = jnp.minimum(idx2, cap - 1)
+
+                def take2(x):
+                    return jnp.take_along_axis(
+                        x, g2[..., None] if x.ndim == 3 else g2, axis=1)
+
+                q_s, qd_s = take2(q_s), take2(qd_s)
+                pay_t2c = take2(pay_t2c)
+                # compose the flat sample index: idx is ascending and idx2
+                # picks ascending slots of it, so gidx stays ascending
+                # (stable ray-major order, as the segmented march requires)
+                idx = jnp.where(valid2, take2(jnp.minimum(idx, M - 1)), M)
+                valid, exact_s = valid2, valid2
+                cap = cap2
         else:
             # parity mode: exact full KNN, mask-only (no dropped compute)
             q = jnp.einsum("bnc,bcd->bnd",

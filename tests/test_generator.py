@@ -119,3 +119,42 @@ def test_ray_compaction_matches_uncompacted(setup):
                                np.asarray(out_a["weights_image"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_b["image_depth"]),
                                np.asarray(out_a["image_depth"]), atol=1e-3)
+
+
+def test_exact_compaction_matches_full_compute(setup):
+    """exact_capacity_frac < 1 (second compaction after the exact 5cm test)
+    must agree with the dense masked path when the budget covers every
+    exact survivor."""
+    smpl, cfg, out_sh, model, batch, variables = setup
+    out_full = jax.jit(lambda v, b: model.apply(v, b, smpl))(variables, batch)
+
+    cfg_e = ModelConfig(
+        backbone_resolution=64, voxel_size=0.02,
+        render=RenderConfig(depth_resolution=D, point_capacity_frac=0.5,
+                            exact_capacity_frac=0.35),
+    )
+    model_e = SHERFGenerator(cfg_e, out_sh=out_sh)
+    out_e = jax.jit(lambda v, b: model_e.apply(v, b, smpl))(variables, batch)
+    np.testing.assert_allclose(np.asarray(out_e["image_raw"]),
+                               np.asarray(out_full["image_raw"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_e["weights_image"]),
+                               np.asarray(out_full["weights_image"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_e["image_depth"]),
+                               np.asarray(out_full["image_depth"]), atol=1e-3)
+
+
+def test_exact_compaction_with_ray_compaction(setup):
+    """All three compaction stages together (rays -> conservative ->
+    exact) at ample budgets match the dense path."""
+    smpl, cfg, out_sh, model, batch, variables = setup
+    out_full = jax.jit(lambda v, b: model.apply(v, b, smpl))(variables, batch)
+
+    cfg_e = ModelConfig(
+        backbone_resolution=64, voxel_size=0.02,
+        render=RenderConfig(depth_resolution=D, point_capacity_frac=0.5,
+                            exact_capacity_frac=0.35, ray_capacity_frac=0.8),
+    )
+    model_e = SHERFGenerator(cfg_e, out_sh=out_sh)
+    out_e = jax.jit(lambda v, b: model_e.apply(v, b, smpl))(variables, batch)
+    np.testing.assert_allclose(np.asarray(out_e["image_raw"]),
+                               np.asarray(out_full["image_raw"]), atol=1e-4)

@@ -67,19 +67,27 @@ def make_variant(p_tile, v_tile, mode):
             dist_ref[:] = (best // 8192).astype(jnp.float32) / 1024.0 \
                 + jnp.sum(q * q, axis=1, keepdims=True)
             return
-        best = jnp.full((p_tile, 1), jnp.inf, jnp.float32)
-        best_i = jnp.zeros((p_tile, 1), jnp.int32)
-        mins = []
-        for t in range(n_vtiles):
+        def dist_tile(t):
             v = v_ref[:, pl.ds(t * v_tile, v_tile)]
+            if mode == "vpu":
+                # elementwise (q - v)^2 via broadcasts — no MXU at all
+                d2 = jnp.zeros((p_tile, v_tile), jnp.float32)
+                for c in range(3):
+                    diff = q[:, c:c + 1] - v[c:c + 1, :]
+                    d2 = d2 + diff * diff
+                return d2 - jnp.sum(q * q, axis=1, keepdims=True)
             vsq = jnp.sum(v * v, axis=0, keepdims=True)
             qv = jax.lax.dot_general(
                 q, v, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            d2 = vsq - 2.0 * qv
+            return vsq - 2.0 * qv
+
+        best = jnp.full((p_tile, 1), jnp.inf, jnp.float32)
+        best_i = jnp.zeros((p_tile, 1), jnp.int32)
+        for t in range(n_vtiles):
+            d2 = dist_tile(t)
             m = jnp.min(d2, axis=1, keepdims=True)
             if mode == "minonly":
-                mins.append((m, d2))
                 best = jnp.minimum(best, m)
             else:
                 i = jnp.argmin(d2, axis=1, keepdims=True).astype(
@@ -88,10 +96,12 @@ def make_variant(p_tile, v_tile, mode):
                 best = jnp.where(upd, m, best)
                 best_i = jnp.where(upd, i, best_i)
         if mode == "minonly":
+            # second pass recomputes d2 (matmuls are cheap vs VPU argmin)
             lane = jax.lax.broadcasted_iota(jnp.int32, (p_tile, v_tile), 1)
             big = jnp.int32(2**30)
             cand = jnp.full((p_tile, 1), big)
-            for t, (m, d2) in enumerate(mins):
+            for t in range(n_vtiles):
+                d2 = dist_tile(t)
                 eq = jnp.where(d2 <= best, lane + t * v_tile, big)
                 cand = jnp.minimum(cand, jnp.min(eq, axis=1, keepdims=True))
             best_i = cand
@@ -150,14 +160,12 @@ def main(N=524288):
 
     for p_tile, v_tile, mode in [
         (1024, 2048, "base"),
-        (2048, 2048, "base"),
-        (1024, 8192, "base"),
-        (512, 8192, "base"),
+        (512, 2048, "base"),
+        (1024, 1024, "base"),
         (1024, 2048, "minonly"),
-        (1024, 8192, "minonly"),
         (1024, 2048, "packed"),
-        (1024, 8192, "packed"),
-        (2048, 8192, "packed"),
+        (1024, 2048, "vpu"),
+        (1024, 1024, "vpu"),
     ]:
         run = make_variant(p_tile, v_tile, mode)
         fn = jax.jit(lambda a, b, r=run: r(a, b)[1])
