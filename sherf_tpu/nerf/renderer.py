@@ -39,10 +39,11 @@ from sherf_tpu.features.sparseconv import SparseConvNet, world_to_voxel_f
 from sherf_tpu.features.transformer import PlaneTransformer
 from sherf_tpu.geometry.rays import project_points
 from sherf_tpu.kernels.grid_sample import (
-    grid_sample_2d, grid_sample_2d_xpacked, pack_x_2d)
+    grid_sample_2d, grid_sample_2d_packed, grid_sample_2d_xpacked,
+    pack_corners_2d, pack_x_2d)
 from sherf_tpu.kernels.capsules import prune_mask
 from sherf_tpu.kernels.compaction import compact_mask
-from sherf_tpu.kernels.knn import nn_1_tables
+from sherf_tpu.kernels.knn import nn_1, nn_1_tables
 from sherf_tpu.kernels.occupancy import occupancy_mask
 from sherf_tpu.nerf.decoders import NeRFDecoder, OSGDecoder
 from sherf_tpu.nerf.march import ray_march, ray_march_segmented
@@ -59,17 +60,17 @@ def sample_from_planes(planes: jnp.ndarray, pts_norm: jnp.ndarray) -> jnp.ndarra
     generate_planes:192-216: xy / xz / zy).
 
     planes: (3, H, W, C); pts_norm: (M, 3) in [-1, 1].  Returns (3, M, C).
-    X-packs each plane first (one-time, tiny vs the per-point lookups) so
-    each bilinear tap pair costs one row gather — ~2x fewer gathers on the
-    frame's largest gather population.
+    Corner-packs each plane first (one-time, tiny vs the per-point lookups)
+    so a bilinear sample costs ONE row gather — measured 4.7x faster than
+    the 4-tap form at 32 channels (tools/profile_pack_variants.py).
     """
     uv0 = pts_norm[:, (0, 1)]
     uv1 = pts_norm[:, (0, 2)]
     uv2 = pts_norm[:, (2, 1)]
     return jnp.stack([
-        grid_sample_2d_xpacked(pack_x_2d(planes[0]), uv0, align_corners=False),
-        grid_sample_2d_xpacked(pack_x_2d(planes[1]), uv1, align_corners=False),
-        grid_sample_2d_xpacked(pack_x_2d(planes[2]), uv2, align_corners=False),
+        grid_sample_2d_packed(pack_corners_2d(planes[0]), uv0, align_corners=False),
+        grid_sample_2d_packed(pack_corners_2d(planes[1]), uv1, align_corners=False),
+        grid_sample_2d_packed(pack_corners_2d(planes[2]), uv2, align_corners=False),
     ])
 
 
@@ -107,13 +108,12 @@ class SHERFRenderer(nn.Module):
     def setup(self):
         cdt = self.compute_dtype
         if self.cfg.use_3d_feature:
-            self.encoder_3d = nn.vmap(
-                SparseConvNet,
-                in_axes=(0, 0, 0), out_axes=0,
-                variable_axes={"params": None, "batch_stats": None},
-                split_rngs={"params": False},
-            )(num_layers=self.cfg.sparse_conv_layers, out_sh=self.out_sh,
-              caps=tuple(self.cfg.sparse_caps), dtype=cdt, name="encoder_3d")
+            # applied per batch item in a python loop (params shared):
+            # vmapping its gather/scatter graph over even a unit batch axis
+            # makes XLA loop-ify the site lookups (~190ms/frame measured)
+            self.encoder_3d = SparseConvNet(
+                num_layers=self.cfg.sparse_conv_layers, out_sh=self.out_sh,
+                caps=tuple(self.cfg.sparse_caps), dtype=cdt, name="encoder_3d")
             # 192 -> 96 (renderer.py:271)
             self.conv1d_projection = nn.Dense(96, dtype=cdt,
                                               name="conv1d_projection")
@@ -220,10 +220,11 @@ class SHERFRenderer(nn.Module):
                 )(q_all, tar_smpl, ctx_target.joints)
             else:
                 # dilated occupancy grid in WORLD coordinates (global R is a
-                # rotation, so distances match the SMPL-frame test)
-                occ = jax.vmap(
-                    lambda qq, vv: occupancy_mask(qq, vv, radius=radius)
-                )(pts, vertices)
+                # rotation, so distances match the SMPL-frame test); python
+                # loop over B — vmapped gathers loop-ify (see setup note)
+                occ = jnp.stack([
+                    occupancy_mask(pts[b], vertices[b], radius=radius)
+                    for b in range(B)])
             # capacity is defined on the FULL candidate set so that ray
             # compaction does not silently shrink the point budget
             cap = _round_up(max(int(N_full * D * rc.point_capacity_frac), 128),
@@ -247,8 +248,15 @@ class SHERFRenderer(nn.Module):
             tab_t2c = jax.vmap(
                 lambda ct, cb: target2c_tables(smpl, ct, cb)
             )(ctx_target, ctx_big)
-            d2_s, vid_s, pay_t2c = jax.vmap(nn_1_tables)(q_s, tar_smpl,
-                                                         tab_t2c)
+            if rc.exact_capacity_frac < 1.0:
+                # plain KNN only (the payload is gathered from the small
+                # per-vertex table AFTER the second compaction — cheaper
+                # than carrying a (cap, 33) payload through it)
+                d2_s, vid_s = jax.vmap(nn_1)(q_s, tar_smpl)
+                pay_t2c = None
+            else:
+                d2_s, vid_s, pay_t2c = jax.vmap(nn_1_tables)(q_s, tar_smpl,
+                                                             tab_t2c)
             exact_s = valid & (d2_s < rc.prune_threshold_sq)
 
             # ---- second compaction: exact-test failures composite as empty
@@ -268,16 +276,22 @@ class SHERFRenderer(nn.Module):
                         lambda m: _compact_indices(m, cap2))(exact_s)
                 g2 = jnp.minimum(idx2, cap - 1)
 
-                def take2(x):
-                    return jnp.take_along_axis(
-                        x, g2[..., None] if x.ndim == 3 else g2, axis=1)
-
-                q_s, qd_s = take2(q_s), take2(qd_s)
-                pay_t2c = take2(pay_t2c)
+                # one packed row gather instead of 4 separate ones (each
+                # gather op costs ~rows x 8-20ns regardless of width):
+                # [q (3) | qd (3) | vid | flat idx] — ints are exact in f32
+                # below 2^24 (M = 12.6M < 2^24, vid < 6890)
+                packed = jnp.concatenate([
+                    q_s, qd_s, vid_s[..., None].astype(jnp.float32),
+                    jnp.minimum(idx, M - 1)[..., None].astype(jnp.float32),
+                ], axis=-1)
+                rows = jnp.take_along_axis(packed, g2[..., None], axis=1)
+                q_s, qd_s = rows[..., 0:3], rows[..., 3:6]
+                vid2 = rows[..., 6].astype(jnp.int32)
+                pay_t2c = jnp.stack([tab_t2c[b][vid2[b]] for b in range(B)])
                 # compose the flat sample index: idx is ascending and idx2
                 # picks ascending slots of it, so gidx stays ascending
                 # (stable ray-major order, as the segmented march requires)
-                idx = jnp.where(valid2, take2(jnp.minimum(idx, M - 1)), M)
+                idx = jnp.where(valid2, rows[..., 7].astype(jnp.int32), M)
                 valid, exact_s = valid2, valid2
                 cap = cap2
         else:
@@ -392,25 +406,28 @@ class SHERFRenderer(nn.Module):
             uv, _ = jax.vmap(project_points)(world_src, obs_K, obs_R, obs_T)
             wh = jnp.asarray([obs_img.shape[2], obs_img.shape[1]], jnp.float32)
             uv_n = 2.0 * uv / wh - 1.0
-            pix_feat = jax.vmap(
-                lambda im, c: grid_sample_2d_xpacked(pack_x_2d(im), c,
-                                                     align_corners=True)
-            )(obs_feat, uv_n)
-            pix_rgb = jax.vmap(
-                lambda im, c: grid_sample_2d_xpacked(pack_x_2d(im), c,
-                                                     align_corners=True)
-            )(obs_img, uv_n)
+            pix_feat = jnp.stack([
+                grid_sample_2d_xpacked(pack_x_2d(obs_feat[b]), uv_n[b],
+                                       align_corners=True)
+                for b in range(B)])
+            pix_rgb = jnp.stack([
+                grid_sample_2d_packed(pack_corners_2d(obs_img[b]), uv_n[b],
+                                      align_corners=True)
+                for b in range(B)])
             rgb_feat = positional_encoding(pix_rgb, 5)[..., :32]  # 33 -> 32 quirk
             p2d = jnp.concatenate([pix_feat, rgb_feat], axis=-1)  # (B, cap, 96)
         else:
             p2d = None
 
-        # ---- sparse-voxel 3D features (renderer.py:345-350)
+        # ---- sparse-voxel 3D features (renderer.py:345-350); python loop
+        # over the static batch — see setup() note on vmap loop-ification
         if cfg.use_3d_feature:
             qdhw = jax.vmap(
                 lambda c, m: world_to_voxel_f(c, m, cfg.voxel_size)
             )(can, min_dhw)
-            f3 = self.encoder_3d(vol_feats, vol_coords, qdhw)  # (B, cap, 192)
+            f3 = jnp.stack([
+                self.encoder_3d(vol_feats[b], vol_coords[b], qdhw[b])
+                for b in range(B)])                 # (B, cap, 192)
             p3d = self.conv1d_projection(f3)  # (B, cap, 96)
         else:
             p3d = None
@@ -420,7 +437,8 @@ class SHERFRenderer(nn.Module):
             lo = t_bounds[:, 0][:, None]
             hi = t_bounds[:, 1][:, None]
             norm = 2.0 * (can - lo) / (hi - lo) - 1.0
-            f1d = jax.vmap(sample_from_planes)(planes, norm)
+            f1d = jnp.stack([sample_from_planes(planes[b], norm[b])
+                             for b in range(B)])
         else:
             f1d = None
 

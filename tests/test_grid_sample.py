@@ -137,3 +137,30 @@ def test_xpacked_trilinear_matches_ref():
         a = np.asarray(trilinear_dense_sample(feats, coords, valid, shape, pos))
         b = np.asarray(trilinear_dense_sample_x(feats, coords, valid, shape, pos))
         assert (a == b).all(), f"dt={dt}"
+
+
+def test_site_sample_packed_matches_ref():
+    """Corner-packed index-grid readout (production 3D bank path) matches
+    the 8-lookup site sampler."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sherf_tpu.features.sparseconv import (
+        build_index_grid, trilinear_site_sample, trilinear_site_sample_packed)
+
+    shape = (9, 11, 13)
+    S = 60
+    rs = np.random.RandomState(5)
+    coords = jnp.asarray(np.stack(
+        [rs.randint(0, s, S) for s in shape], -1).astype(np.int32))
+    valid = jnp.arange(S) < 50
+    grid = build_index_grid(coords, valid, shape)
+    pos = jnp.asarray(np.concatenate([
+        rs.uniform(-1.5, 14.0, (3000, 3)),
+        [[0, 0, 0], [8, 10, 12], [-0.4, 2.2, 3.7]],
+    ]).astype(np.float32))
+    for dt in (jnp.float32, jnp.bfloat16):
+        feats = jax.random.normal(jax.random.PRNGKey(1), (S, 5), dt)
+        a = np.asarray(trilinear_site_sample(feats, grid, shape, pos))
+        b = np.asarray(trilinear_site_sample_packed(feats, grid, shape, pos))
+        np.testing.assert_allclose(a, b, atol=1e-5)

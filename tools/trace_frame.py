@@ -1,0 +1,90 @@
+"""Capture a device trace of the production frame and print the top ops.
+
+Run: python tools/trace_frame.py  (alone; writes /tmp/jaxtrace)
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main(H=512, W=512, D=48, iters=3, top=40):
+    from sherf_tpu.core.config import ModelConfig, RenderConfig
+    from sherf_tpu.data import make_synthetic_batch
+    from sherf_tpu.features.sparseconv import prepare_voxel_volume
+    from sherf_tpu.models import SHERFGenerator
+    from sherf_tpu.smpl import synthetic_smpl, smpl_forward, big_pose_params
+
+    smpl = synthetic_smpl(0)
+    bp = big_pose_params()
+    t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
+                                      jnp.asarray(bp["shapes"]))[0])
+    _, out_sh = prepare_voxel_volume(t_verts)
+    cfg = ModelConfig(compute_dtype="bfloat16", render=RenderConfig(
+        depth_resolution=D, point_capacity_frac=1 / 24,
+        ray_capacity_frac=0.375, exact_capacity_frac=1 / 48,
+        density_noise=0.0))
+    model = SHERFGenerator(cfg, out_sh=out_sh)
+    batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
+    scfg = ModelConfig(compute_dtype="bfloat16",
+                       render=RenderConfig(depth_resolution=4,
+                                           density_noise=0.0))
+    small = SHERFGenerator(scfg, out_sh=out_sh)
+    tiny = make_synthetic_batch(smpl, batch_size=1, H=8, W=8, seed=0)
+    variables = jax.jit(lambda b: small.init(jax.random.PRNGKey(0), b,
+                                             smpl))(tiny)
+    fwd = jax.jit(lambda v, b: model.apply(v, b, smpl)["image_raw"])
+    out = fwd(variables, batch)
+    np.asarray(out.ravel()[0])
+    print("warm done", file=sys.stderr)
+
+    os.system("rm -rf /tmp/jaxtrace")
+    jax.profiler.start_trace("/tmp/jaxtrace")
+    for _ in range(iters):
+        out = fwd(variables, batch)
+        np.asarray(out.ravel()[0])
+    jax.profiler.stop_trace()
+
+    paths = glob.glob("/tmp/jaxtrace/**/*.trace.json.gz", recursive=True)
+    with gzip.open(paths[0]) as f:
+        data = json.load(f)
+    ev = data["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tpu_pid = next(p for p, n in pids.items() if "TPU" in n)
+    tids = {e["tid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "thread_name"
+            and e["pid"] == tpu_pid}
+    op_tids = {t for t, n in tids.items() if n == "XLA Ops"}
+    agg = collections.defaultdict(float)
+    cnt = collections.Counter()
+    meta = {}
+    for e in ev:
+        if (e.get("ph") == "X" and e["pid"] == tpu_pid
+                and e["tid"] in op_tids):
+            name = e.get("name", "")
+            agg[name] += e.get("dur", 0)
+            cnt[name] += 1
+            args = e.get("args") or {}
+            src = args.get("source_file")
+            if src and name not in meta:
+                meta[name] = f"{src.split('/')[-1]}:{args.get('source_line')}"
+    total = sum(agg.values()) / 1000 / iters
+    print(f"device total: {total:.1f} ms/frame over {iters} iters")
+    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{v / 1000 / iters:8.2f} ms  x{cnt[k] // iters:<3d} {k[:60]:60s}"
+              f" {meta.get(k, '')}")
+
+
+if __name__ == "__main__":
+    main()
