@@ -19,7 +19,7 @@ import numpy as np
 REFERENCE_FPS_BASELINE = 0.5  # A100 torch reference estimate (BASELINE.md)
 
 
-def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 24.0,
+def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 16.0,
          ray_frac=0.375, exact_frac=1.0 / 48.0):
     import jax
     import jax.numpy as jnp
@@ -56,8 +56,18 @@ def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 24.0,
                                       - batch.near[0])[:, None] * steps
     pts = (batch.ray_o[0][:, None]
            + dvals[..., None] * batch.ray_d[0][:, None]).reshape(-1, 3)
-    occ_n = int(jax.jit(lambda p, v: occupancy_mask(p, v).sum())(
-        pts, batch.vertices[0]))
+    from sherf_tpu.kernels.occupancy import CELL, GRID_SIZE, strided_occupancy
+    span = float(jnp.max(jnp.max(batch.vertices[0], 0)
+                         - jnp.min(batch.vertices[0], 0)))
+    assert span + 0.5 < GRID_SIZE * CELL, \
+        f"body span {span:.2f}m too large for the occupancy grid"
+    rcfg = cfg.render
+    step_max = float(jnp.max((batch.far[0] - batch.near[0]) / (depth - 1)))
+    assert step_max <= rcfg.prune_step_margin, \
+        f"depth step {step_max:.3f}m exceeds prune_step_margin"
+    occ_n = int(jax.jit(lambda p, v: strided_occupancy(
+        p.reshape(-1, depth, 3), v, stride=rcfg.prune_stride,
+        step_margin=rcfg.prune_step_margin).sum())(pts, batch.vertices[0]))
     assert occ_n <= int(M * capacity_frac), \
         f"voxel survivors {occ_n} overflow point budget {int(M * capacity_frac)}"
     d2 = jax.jit(lambda q, v: nn_1(q, v)[0])(pts[::8], batch.vertices[0])

@@ -48,6 +48,13 @@ class RenderConfig:
     # strict supersets of the exact vertex-distance test, which is always
     # re-applied on the compacted survivors.
     prune_mode: str = "voxel"
+    # Voxel-prune depth stride: test every prune_stride-th sample per ray
+    # (plus the last) against a grid dilated by prune_step_margin extra
+    # meters, then OR-spread flags to +-1 neighbors — a strict superset of
+    # the per-sample test whenever the per-ray depth step <= the margin
+    # (bench.py validates).  1 = test every sample.
+    prune_stride: int = 3
+    prune_step_margin: float = 0.06
     # Second-stage static budget (fraction of total samples) applied AFTER
     # the exact 5cm test: exact failures composite as empty space either
     # way, so dropping them before the feature banks halves the per-point

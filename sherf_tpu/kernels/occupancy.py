@@ -18,11 +18,56 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-GRID_SIZE = 224          # static cells per axis
-CELL = 0.0125            # meters; 224 * 0.0125 = 2.8 m cube covers any pose
+GRID_SIZE = 192          # static cells per axis
+CELL = 0.0125            # meters; 192 * 0.0125 = 2.4 m cube covers any SMPL
+#                          pose (max body span ~2.2 m arms-out) with the
+#                          dilation margin; bench.py validates the span.
+#                          Smaller grid (7 MB int8 vs 11 MB at 224) gathers
+#                          measurably faster in-frame.
+
+
+def strided_occupancy(pts: jnp.ndarray, verts: jnp.ndarray,
+                      radius: float = 0.05, stride: int = 3,
+                      step_margin: float = 0.06, cell: float = CELL,
+                      grid_size: int = GRID_SIZE) -> jnp.ndarray:
+    """Conservative occupancy over a (N, D, 3) ray-sample grid, querying
+    only every ``stride``-th depth sample.
+
+    The voxel gather is per-row-cost-bound (~8ns/sample in-frame), so
+    testing a 1/stride subset and spreading flags to +-1 neighbors cuts its
+    cost by ~stride.  Correctness: every tested position is within one
+    depth step of any sample (guaranteed by construction for stride <= 3,
+    statically asserted), and the grid dilation is inflated by
+    ``step_margin`` >= the largest per-ray step (bench.py validates the
+    actual step bound), so a sample within ``radius`` of a vertex always
+    has a flagged tested neighbor — a strict superset of the exact test,
+    exactly like the unstrided mask.
+
+    Returns (N * D,) bool.
+    """
+    N, D, _ = pts.shape
+    if stride <= 1:
+        return occupancy_mask(pts.reshape(-1, 3), verts, radius=radius,
+                              cell=cell, grid_size=grid_size)
+    ks = sorted(set(list(range(0, D, stride)) + [D - 1]))
+    # static coverage check: every sample has a tested index within 1
+    nbr = []
+    for k in range(D):
+        cands = [i for i, kp in enumerate(ks) if abs(kp - k) <= 1]
+        assert cands, f"stride {stride} leaves sample {k} uncovered"
+        nbr.append((cands[0], cands[-1]))
+    lo = np.asarray([a for a, _ in nbr])
+    hi = np.asarray([b for _, b in nbr])
+
+    occ_t = occupancy_mask(pts[:, np.asarray(ks)].reshape(-1, 3), verts,
+                           radius=radius + step_margin, cell=cell,
+                           grid_size=grid_size).reshape(N, len(ks))
+    occ_full = occ_t[:, lo] | occ_t[:, hi]
+    return occ_full.reshape(N * D)
 
 
 def occupancy_mask(query: jnp.ndarray, verts: jnp.ndarray,

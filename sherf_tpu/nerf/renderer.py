@@ -44,7 +44,7 @@ from sherf_tpu.kernels.grid_sample import (
 from sherf_tpu.kernels.capsules import prune_mask
 from sherf_tpu.kernels.compaction import compact_mask
 from sherf_tpu.kernels.knn import nn_1, nn_1_tables
-from sherf_tpu.kernels.occupancy import occupancy_mask
+from sherf_tpu.kernels.occupancy import occupancy_mask, strided_occupancy
 from sherf_tpu.nerf.decoders import NeRFDecoder, OSGDecoder
 from sherf_tpu.nerf.march import ray_march, ray_march_segmented
 from sherf_tpu.nerf.warp import (
@@ -223,7 +223,9 @@ class SHERFRenderer(nn.Module):
                 # rotation, so distances match the SMPL-frame test); python
                 # loop over B — vmapped gathers loop-ify (see setup note)
                 occ = jnp.stack([
-                    occupancy_mask(pts[b], vertices[b], radius=radius)
+                    strided_occupancy(pts[b].reshape(N, D, 3), vertices[b],
+                                      radius=radius, stride=rc.prune_stride,
+                                      step_margin=rc.prune_step_margin)
                     for b in range(B)])
             # capacity is defined on the FULL candidate set so that ray
             # compaction does not silently shrink the point budget
@@ -240,8 +242,19 @@ class SHERFRenderer(nn.Module):
             else:
                 idx, valid = jax.vmap(lambda m: _compact_indices(m, cap))(occ)
             gidx = jnp.minimum(idx, M - 1)
-            pts_s = jnp.take_along_axis(pts, gidx[..., None], axis=1)
-            dirs_s = jnp.take_along_axis(ray_d, (gidx // D)[..., None], axis=1)
+            # ONE per-ray row gather instead of two per-sample gathers from
+            # the (M,)-sized tables: recompute the sample position from
+            # [o | d | near | far] with the identical op sequence (and the
+            # same linspace steps), so values are bit-equal to pts[gidx]
+            ray_tab = jnp.concatenate([ray_o, ray_d, near[..., None],
+                                       far[..., None]], axis=-1)  # (B, N, 8)
+            rrows = jnp.take_along_axis(ray_tab, (gidx // D)[..., None],
+                                        axis=1)
+            o_s, dirs_s = rrows[..., 0:3], rrows[..., 3:6]
+            near_s, far_s = rrows[..., 6], rrows[..., 7]
+            step_s = steps[gidx % D]
+            depth_s = near_s + (far_s - near_s) * step_s
+            pts_s = o_s + depth_s[..., None] * dirs_s
             q_s = jnp.einsum("bnc,bcd->bnd",
                              pts_s - ctx_target.Th[:, None], ctx_target.R)
             qd_s = jnp.einsum("bnc,bcd->bnd", dirs_s, ctx_target.R)

@@ -68,3 +68,35 @@ def test_unassigned_bones_never_hit():
     radii = jnp.full((24,), -1.0)
     hit = capsule_mask(verts, joints, radii, smpl.parents)
     assert not bool(jnp.any(hit))
+
+
+def test_strided_occupancy_superset_of_exact():
+    """The strided voxel mask must contain every sample within the exact
+    5cm-of-a-vertex set whenever the per-ray depth step <= the margin."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sherf_tpu.kernels.knn import nn_1_ref
+    from sherf_tpu.kernels.occupancy import strided_occupancy
+    from sherf_tpu.smpl import synthetic_smpl, smpl_forward, big_pose_params
+
+    smpl = synthetic_smpl(0)
+    bp = big_pose_params()
+    verts = smpl_forward(smpl, jnp.asarray(bp["poses"]),
+                         jnp.asarray(bp["shapes"]))[0]
+    lo = jnp.min(verts, 0) - 0.3
+    hi = jnp.max(verts, 0) + 0.3
+    rs = np.random.RandomState(0)
+    N, D = 64, 48
+    o = jnp.asarray(lo + (hi - lo) * rs.uniform(0, 1, (N, 3)))
+    d = jnp.asarray(rs.normal(size=(N, 3)))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # step = 2.4m span / 47 ~ 0.051 <= margin 0.06
+    t = jnp.linspace(0.0, 2.4, D)
+    pts = o[:, None] + t[None, :, None] * d[:, None]
+
+    mask = np.asarray(strided_occupancy(pts, verts, radius=0.05, stride=3,
+                                        step_margin=0.06))
+    d2 = np.asarray(nn_1_ref(pts.reshape(-1, 3), verts)[0])
+    exact = d2 < 0.05 ** 2
+    assert (mask | ~exact).all(), "strided mask missed exact survivors"
