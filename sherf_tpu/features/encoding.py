@@ -33,12 +33,22 @@ def positional_encoding(x: jnp.ndarray, num_freqs: int,
             parts.append(jnp.cos(x * f))
         return jnp.concatenate(parts, axis=-1)
 
-    parts = [x] if include_input else []
-    s = jnp.sin(x)
-    c = jnp.cos(x)
+    # compute on a (1, prod) flattening: the natural (..., 3) layout leaves
+    # 125 of 128 lanes idle for every op in the recurrence (the trailing
+    # dim maps to lanes); one transpose at the end restores the reference
+    # channel order [x, sin f0, cos f0, sin f1, ...]
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    flat = x.reshape(1, -1)
+    parts = [flat] if include_input else []
+    s = jnp.sin(flat)
+    c = jnp.cos(flat)
     for k in range(num_freqs):
         if k > 0:
             s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
         parts.append(s)
         parts.append(c)
-    return jnp.concatenate(parts, axis=-1)
+    out = jnp.concatenate(parts, axis=0)          # (P, prod)
+    P = out.shape[0]
+    out = jnp.moveaxis(out.reshape((P,) + lead + (d,)), 0, -2)
+    return out.reshape(lead + (P * d,))

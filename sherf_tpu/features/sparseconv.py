@@ -31,6 +31,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 import flax.linen as nn
 import jax
+from jax import lax
 import jax.numpy as jnp
 
 VOXEL_SIZE = 0.005  # meters (renderer.py:550, triplane.py:194)
@@ -105,21 +106,29 @@ _OFFSETS = np.stack(np.meshgrid(np.arange(3), np.arange(3), np.arange(3),
                                 indexing="ij"), -1).reshape(27, 3) - 1  # (27,3)
 
 
-def _gather_neighborhood(feats, grid, shape, base_coords):
-    """All 27 neighbor features in TWO gather ops (one int-grid lookup, one
-    feature lookup) instead of 27+27: each device gather op carries ~0.1ms
-    of fixed cost, which dominated the conv stack (~55ms/frame measured
-    across 426 small gathers).
-
-    feats: (S, Ci); base_coords: (S, 3).  Returns (S, 27, Ci).
-    """
+def neighbor_ids(grid, shape, base_coords):
+    """(S, 27) padded site ids (id+1; 0 = empty/out-of-bounds) of the 3x3x3
+    neighborhood of each base coord — ONE int-grid gather.  Computed once
+    per stage and shared by that stage's convs (each device gather op
+    carries ~0.1ms fixed cost; the per-offset form cost ~55ms/frame)."""
     nbr_coords = base_coords[:, None, :] + jnp.asarray(_OFFSETS)[None]  # (S,27,3)
     ok = _inbounds(nbr_coords, shape)
     flat = jnp.clip(_flat(nbr_coords, shape), 0, grid.shape[0] - 1)
-    idx = grid[flat.reshape(-1)].reshape(flat.shape) * ok.astype(jnp.int32)
+    return grid[flat.reshape(-1)].reshape(flat.shape) * ok.astype(jnp.int32)
+
+
+def _gather_by_ids(feats, ids):
+    """feats: (S, Ci); ids: (..., ) padded site ids.  Zero rows at id 0."""
     feats_pad = jnp.concatenate(
         [jnp.zeros((1, feats.shape[-1]), feats.dtype), feats], 0)
-    return feats_pad[idx.reshape(-1)].reshape(*idx.shape, feats.shape[-1])
+    return feats_pad[ids.reshape(-1)].reshape(*ids.shape, feats.shape[-1])
+
+
+def conv3d_by_ids(feats, nbr, weight):
+    """Sparse 3x3x3 conv given precomputed neighbor ids (S, 27)."""
+    w = weight.reshape(27, weight.shape[-2], weight.shape[-1])
+    return jnp.einsum("ski,kio->so", _gather_by_ids(feats, nbr),
+                      w.astype(feats.dtype))
 
 
 def subm_conv3d(feats, coords, grid, shape, weight):
@@ -127,39 +136,30 @@ def subm_conv3d(feats, coords, grid, shape, weight):
 
     feats: (S, Ci); weight: (3, 3, 3, Ci, Co).  Returns (S, Co).
     """
-    nbr = _gather_neighborhood(feats, grid, shape, coords)  # (S, 27, Ci)
-    w = weight.reshape(27, weight.shape[-2], weight.shape[-1])
-    return jnp.einsum("ski,kio->so", nbr, w.astype(feats.dtype))
+    return conv3d_by_ids(feats, neighbor_ids(grid, shape, coords), weight)
 
 
 def stride_conv3d(feats, grid_in, shape_in, out_coords, weight):
     """Strided conv (kernel 3, stride 2, pad 1): out[o] = sum_k W[k] .
     in[2*o + k - 1].  Returns (S_out, Co)."""
-    nbr = _gather_neighborhood(feats, grid_in, shape_in, 2 * out_coords)
-    w = weight.reshape(27, weight.shape[-2], weight.shape[-1])
-    return jnp.einsum("ski,kio->so", nbr, w.astype(feats.dtype))
+    return conv3d_by_ids(feats, neighbor_ids(grid_in, shape_in,
+                                             2 * out_coords), weight)
 
 
-def downsample_sites(coords, valid, shape_in, cap: int):
+def downsample_sites(grid_in, shape_in, cap: int):
     """Site set of SparseConv3d(stride 2, pad 1): every output voxel whose
-    3x3x3 stride-2 window touches an occupied input voxel.  Static shapes:
-    per input site the <=2 candidate parents per axis are emitted (8 total),
-    deduped through an occupancy grid and compacted to ``cap`` sites."""
+    3x3x3 stride-2 window touches an occupied input voxel.
+
+    Computed as one reduce_window max over the (already built) input index
+    grid — out[o] = any(in[2o-1 .. 2o+1]) — instead of scattering the <=8
+    candidate parents per site (the scatter measured ~4ms per downsample);
+    compacted to ``cap`` static sites."""
     shape_out = tuple((s - 1) // 2 + 1 for s in shape_in)
-    c0 = coords // 2          # ceil((c-1)/2) for c >= 0
-    c1 = (coords + 1) // 2    # floor((c+1)/2)
-    cands = []
-    for a in (c0[:, 0], c1[:, 0]):
-        for b in (c0[:, 1], c1[:, 1]):
-            for c in (c0[:, 2], c1[:, 2]):
-                cands.append(jnp.stack([a, b, c], -1))
-    cands = jnp.concatenate(cands, axis=0)  # (8*S, 3)
-    v = jnp.tile(valid, 8)
-    size = shape_out[0] * shape_out[1] * shape_out[2]
-    ok = v & _inbounds(cands, shape_out)
-    flat = jnp.where(ok, _flat(cands, shape_out), size)
-    occ = jnp.zeros((size,), jnp.bool_).at[flat].set(True, mode="drop")
-    (idx,) = jnp.nonzero(occ, size=cap, fill_value=-1)
+    occ_in = (grid_in > 0).reshape(shape_in)
+    occ = lax.reduce_window(occ_in, False, lax.bitwise_or, (3, 3, 3),
+                            (2, 2, 2), ((1, 1), (1, 1), (1, 1)))
+    assert occ.shape == shape_out, (occ.shape, shape_out)
+    (idx,) = jnp.nonzero(occ.reshape(-1), size=cap, fill_value=-1)
     new_valid = idx >= 0
     idx = jnp.maximum(idx, 0)
     d = idx // (shape_out[1] * shape_out[2])
@@ -407,7 +407,9 @@ def trilinear_site_sample_packed(feats, grid, shape, pos):
     feats_pad = jnp.concatenate(
         [jnp.zeros((1, C), feats.dtype), feats], 0)
     vals = feats_pad[rows.reshape(-1)].reshape(-1, 8, C)    # (N, 8, C)
-    return jnp.einsum("nk,nkc->nc", wg, vals.astype(pos.dtype))
+    # weighted sum on the VPU — einsum here becomes 262k tiny (1,8)x(8,C)
+    # matmuls (~5ms/frame measured); the elementwise form fuses
+    return jnp.sum(vals.astype(pos.dtype) * wg[:, :, None], axis=1)
 
 
 def trilinear_site_sample(feats, grid, shape, pos):
@@ -466,11 +468,14 @@ class SparseStage(nn.Module):
 
     @nn.compact
     def __call__(self, feats, coords, grid, shape, valid, train: bool = False):
+        # submanifold convs share the site set: one neighbor-id gather
+        # serves every conv in the stage
+        nbr = neighbor_ids(grid, shape, coords)
         for i in range(self.n_convs):
             cin = feats.shape[-1]
             w = self.param(f"conv{i}", nn.initializers.variance_scaling(
                 1.0, "fan_in", "normal"), (3, 3, 3, cin, self.out_channels))
-            feats = subm_conv3d(feats, coords, grid, shape, w)
+            feats = conv3d_by_ids(feats, nbr, w)
             feats = MaskedBatchNorm(name=f"bn{i}")(feats, valid, train=train)
             feats = nn.relu(feats) * valid[:, None]
         return feats
@@ -484,7 +489,7 @@ class SparseDown(nn.Module):
 
     @nn.compact
     def __call__(self, feats, coords, grid, shape, valid, train: bool = False):
-        new_coords, new_valid, new_shape = downsample_sites(coords, valid, shape, self.cap)
+        new_coords, new_valid, new_shape = downsample_sites(grid, shape, self.cap)
         cin = feats.shape[-1]
         w = self.param("conv", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (3, 3, 3, cin, self.out_channels))

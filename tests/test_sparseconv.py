@@ -57,8 +57,7 @@ def test_stride_conv_matches_dense_strided_conv():
     w = rng.randn(3, 3, 3, 4, 7).astype(np.float32)
 
     grid = build_index_grid(jnp.asarray(coords), jnp.ones(60, bool), shape)
-    new_coords, new_valid, new_shape = downsample_sites(
-        jnp.asarray(coords), jnp.ones(60, bool), shape, cap=256)
+    new_coords, new_valid, new_shape = downsample_sites(grid, shape, cap=256)
     ours = np.asarray(stride_conv3d(jnp.asarray(feats), grid, shape,
                                     new_coords, jnp.asarray(w)))
 
