@@ -34,6 +34,8 @@ import jax
 from jax import lax
 import jax.numpy as jnp
 
+from sherf_tpu.kernels.segment_accum import weighted_gather
+
 VOXEL_SIZE = 0.005  # meters (renderer.py:550, triplane.py:194)
 
 
@@ -117,33 +119,85 @@ def neighbor_ids(grid, shape, base_coords):
     return grid[flat.reshape(-1)].reshape(flat.shape) * ok.astype(jnp.int32)
 
 
-def _gather_by_ids(feats, ids):
-    """feats: (S, Ci); ids: (..., ) padded site ids.  Zero rows at id 0."""
+def invert_neighbor_ids(nbr, valid_out, n_in):
+    """inv[j, k] = 1 + the output row whose k-th neighbor is input site
+    id j+1 (0 = none).  Exact and duplicate-free: for a fixed offset k the
+    map (output site -> its k-th neighbor) is injective over valid rows, so
+    the scatter below never collides.  Invalid (padding) output rows are
+    dropped — they can share coords and would otherwise overwrite real
+    entries."""
+    S_out, K = nbr.shape
+    tgt = jnp.where(valid_out[:, None] & (nbr > 0), nbr, 0)
+    rows = jnp.broadcast_to(
+        jnp.arange(1, S_out + 1, dtype=jnp.int32)[:, None], (S_out, K))
+    inv = jnp.zeros((n_in + 1, K), jnp.int32)
+    inv = inv.at[tgt, jnp.arange(K, dtype=jnp.int32)[None, :]].set(
+        rows, mode="drop")
+    return inv[1:]
+
+
+def _neighbor_gather_fwd(feats, nbr, inv_nbr, valid_in):
     feats_pad = jnp.concatenate(
         [jnp.zeros((1, feats.shape[-1]), feats.dtype), feats], 0)
-    return feats_pad[ids.reshape(-1)].reshape(*ids.shape, feats.shape[-1])
+    out = feats_pad[nbr.reshape(-1)].reshape(*nbr.shape, feats.shape[-1])
+    return out, (inv_nbr, valid_in)
 
 
-def conv3d_by_ids(feats, nbr, weight):
-    """Sparse 3x3x3 conv given precomputed neighbor ids (S, 27)."""
+def _neighbor_gather_bwd(res, g):
+    """Transpose of a fixed-offset neighbor gather = neighbor gather along
+    the inverse offsets: d_in[j] = sum_k g[inv[j,k]-1, k] — a pure gather,
+    no scatter (XLA's duplicate-heavy scatter-add here cost ~25ms/step) and
+    no rounding.  Sites j where inv points nowhere read the zero row."""
+    inv_nbr, valid_in = res
+    S_in, K = inv_nbr.shape
+    C = g.shape[-1]
+    gpad = jnp.concatenate([jnp.zeros((1, K, C), g.dtype), g], 0)
+    flat = inv_nbr * K + jnp.arange(K, dtype=jnp.int32)[None, :]  # inv=0 -> row0
+    d = gpad.reshape(-1, C)[flat.reshape(-1)].reshape(S_in, K, C)
+    d = jnp.sum(d.astype(jnp.float32), axis=1)
+    # the inverse table only covers valid rows; scatter semantics give
+    # exactly zero at invalid (padding) input rows
+    d = d * valid_in[:, None]
+    return d.astype(g.dtype), None, None, None
+
+
+@jax.custom_vjp
+def neighbor_gather(feats, nbr, inv_nbr, valid_in):
+    """feats: (S_in, Ci) -> (S_out, K, Ci) rows at padded ids ``nbr``
+    (0 = empty -> zero row), with an inverse-gather adjoint via
+    ``inv_nbr`` (see :func:`invert_neighbor_ids`)."""
+    return _neighbor_gather_fwd(feats, nbr, inv_nbr, valid_in)[0]
+
+
+neighbor_gather.defvjp(_neighbor_gather_fwd, _neighbor_gather_bwd)
+
+
+def conv3d_by_ids(feats, nbr, weight, inv_nbr, valid_in):
+    """Sparse 3x3x3 conv given precomputed neighbor ids (S, 27) and their
+    inverse table (S_in, 27)."""
     w = weight.reshape(27, weight.shape[-2], weight.shape[-1])
-    return jnp.einsum("ski,kio->so", _gather_by_ids(feats, nbr),
+    return jnp.einsum("ski,kio->so",
+                      neighbor_gather(feats, nbr, inv_nbr, valid_in),
                       w.astype(feats.dtype))
 
 
-def subm_conv3d(feats, coords, grid, shape, weight):
+def subm_conv3d(feats, coords, grid, shape, weight, valid_in):
     """Submanifold conv: out[s] = sum_k W[k] . in[coord_s + k].
 
     feats: (S, Ci); weight: (3, 3, 3, Ci, Co).  Returns (S, Co).
-    """
-    return conv3d_by_ids(feats, neighbor_ids(grid, shape, coords), weight)
+    The inverse neighbor table is free: _OFFSETS[26-k] == -_OFFSETS[k] and
+    in/out share the site grid, so inv = nbr reversed along k."""
+    nbr = neighbor_ids(grid, shape, coords)
+    return conv3d_by_ids(feats, nbr, weight, nbr[:, ::-1], valid_in)
 
 
-def stride_conv3d(feats, grid_in, shape_in, out_coords, weight):
+def stride_conv3d(feats, grid_in, shape_in, out_coords, weight, valid_out,
+                  valid_in):
     """Strided conv (kernel 3, stride 2, pad 1): out[o] = sum_k W[k] .
     in[2*o + k - 1].  Returns (S_out, Co)."""
-    return conv3d_by_ids(feats, neighbor_ids(grid_in, shape_in,
-                                             2 * out_coords), weight)
+    nbr = neighbor_ids(grid_in, shape_in, 2 * out_coords)
+    inv = invert_neighbor_ids(nbr, valid_out, feats.shape[0])
+    return conv3d_by_ids(feats, nbr, weight, inv, valid_in)
 
 
 def downsample_sites(grid_in, shape_in, cap: int):
@@ -406,10 +460,11 @@ def trilinear_site_sample_packed(feats, grid, shape, pos):
 
     feats_pad = jnp.concatenate(
         [jnp.zeros((1, C), feats.dtype), feats], 0)
-    vals = feats_pad[rows.reshape(-1)].reshape(-1, 8, C)    # (N, 8, C)
-    # weighted sum on the VPU — einsum here becomes 262k tiny (1,8)x(8,C)
-    # matmuls (~5ms/frame measured); the elementwise form fuses
-    return jnp.sum(vals.astype(pos.dtype) * wg[:, :, None], axis=1)
+    # fused weighted gather: forward is the elementwise sum over the 8
+    # corner rows (an einsum here becomes 262k tiny (1,8)x(8,C) matmuls,
+    # ~5ms/frame measured); backward accumulates the table gradient as
+    # weighted multi-hot matmuls instead of a duplicate-heavy scatter
+    return weighted_gather(feats_pad, rows, wg)
 
 
 def trilinear_site_sample(feats, grid, shape, pos):
@@ -469,13 +524,14 @@ class SparseStage(nn.Module):
     @nn.compact
     def __call__(self, feats, coords, grid, shape, valid, train: bool = False):
         # submanifold convs share the site set: one neighbor-id gather
-        # serves every conv in the stage
+        # serves every conv in the stage (and, reversed, every adjoint)
         nbr = neighbor_ids(grid, shape, coords)
+        inv = nbr[:, ::-1]
         for i in range(self.n_convs):
             cin = feats.shape[-1]
             w = self.param(f"conv{i}", nn.initializers.variance_scaling(
                 1.0, "fan_in", "normal"), (3, 3, 3, cin, self.out_channels))
-            feats = conv3d_by_ids(feats, nbr, w)
+            feats = conv3d_by_ids(feats, nbr, w, inv, valid)
             feats = MaskedBatchNorm(name=f"bn{i}")(feats, valid, train=train)
             feats = nn.relu(feats) * valid[:, None]
         return feats
@@ -493,7 +549,8 @@ class SparseDown(nn.Module):
         cin = feats.shape[-1]
         w = self.param("conv", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (3, 3, 3, cin, self.out_channels))
-        out = stride_conv3d(feats, grid, shape, new_coords, w)
+        out = stride_conv3d(feats, grid, shape, new_coords, w, new_valid,
+                            valid)
         out = MaskedBatchNorm(name="bn")(out, new_valid, train=train)
         out = nn.relu(out) * new_valid[:, None]
         new_grid = build_index_grid(new_coords, new_valid, new_shape)

@@ -40,7 +40,8 @@ def test_subm_conv_matches_dense_masked_conv():
 
     grid = build_index_grid(jnp.asarray(coords), jnp.ones(80, bool), shape)
     ours = np.asarray(subm_conv3d(jnp.asarray(feats), jnp.asarray(coords),
-                                  grid, shape, jnp.asarray(w)))
+                                  grid, shape, jnp.asarray(w),
+                                  jnp.ones(80, bool)))
 
     dense = _densify(feats, coords, shape)
     w_t = torch.from_numpy(np.transpose(w, (4, 3, 0, 1, 2)))  # (co, ci, kd, kh, kw)
@@ -59,7 +60,8 @@ def test_stride_conv_matches_dense_strided_conv():
     grid = build_index_grid(jnp.asarray(coords), jnp.ones(60, bool), shape)
     new_coords, new_valid, new_shape = downsample_sites(grid, shape, cap=256)
     ours = np.asarray(stride_conv3d(jnp.asarray(feats), grid, shape,
-                                    new_coords, jnp.asarray(w)))
+                                    new_coords, jnp.asarray(w), new_valid,
+                                    jnp.ones(60, bool)))
 
     dense = _densify(feats, coords, shape)
     w_t = torch.from_numpy(np.transpose(w, (4, 3, 0, 1, 2)))
@@ -119,6 +121,68 @@ def test_sparse_convnet_end_to_end():
     assert bool(jnp.isfinite(out).all())
     # queries at occupied sites should see nonzero features
     assert float(jnp.abs(out).sum()) > 0
+
+
+def test_subm_conv_grad_matches_scatter_adjoint():
+    """The inverse-neighbor-gather adjoint must equal the plain scatter-add
+    adjoint exactly (it is a reindexing, not an approximation)."""
+    rng = np.random.RandomState(7)
+    shape = (10, 12, 14)
+    coords = _random_sites(rng, 80, shape)
+    # rows 64.. are invalid padding sharing real coords semantics
+    valid = jnp.asarray(np.arange(80) < 64)
+    feats = jnp.asarray(rng.randn(80, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 6, 5).astype(np.float32))
+    grid = build_index_grid(jnp.asarray(coords), valid, shape)
+    cot = jnp.asarray(rng.randn(80, 5).astype(np.float32))
+    # masked output, as in SparseStage (invalid rows carry no gradient)
+    cot = cot * valid[:, None]
+
+    def ours(f):
+        out = subm_conv3d(f, jnp.asarray(coords), grid, shape, w, valid)
+        return jnp.sum(out * cot)
+
+    def ref(f):
+        from sherf_tpu.features.sparseconv import neighbor_ids
+        nbr = neighbor_ids(grid, shape, jnp.asarray(coords))
+        fp = jnp.concatenate([jnp.zeros((1, 6), f.dtype), f], 0)
+        rows = fp[nbr.reshape(-1)].reshape(80, 27, 6)
+        out = jnp.einsum("ski,kio->so", rows, w.reshape(27, 6, 5))
+        return jnp.sum(out * cot)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(ours)(feats)),
+                               np.asarray(jax.grad(ref)(feats)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stride_conv_grad_matches_scatter_adjoint():
+    rng = np.random.RandomState(8)
+    shape = (9, 11, 13)
+    coords = _random_sites(rng, 60, shape)
+    valid_in = jnp.asarray(np.arange(60) < 50)
+    feats = jnp.asarray(rng.randn(60, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 4, 7).astype(np.float32))
+    grid = build_index_grid(jnp.asarray(coords), valid_in, shape)
+    new_coords, new_valid, new_shape = downsample_sites(grid, shape, cap=256)
+    cot = jnp.asarray(rng.randn(256, 7).astype(np.float32))
+    cot = cot * new_valid[:, None]
+
+    def ours(f):
+        out = stride_conv3d(f, grid, shape, new_coords, w, new_valid,
+                            valid_in)
+        return jnp.sum(out * cot)
+
+    def ref(f):
+        from sherf_tpu.features.sparseconv import neighbor_ids
+        nbr = neighbor_ids(grid, shape, 2 * new_coords)
+        fp = jnp.concatenate([jnp.zeros((1, 4), f.dtype), f], 0)
+        rows = fp[nbr.reshape(-1)].reshape(256, 27, 4)
+        out = jnp.einsum("ski,kio->so", rows, w.reshape(27, 4, 7))
+        return jnp.sum(out * cot)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(ours)(feats)),
+                               np.asarray(jax.grad(ref)(feats)),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_dense_readout_matches_index_readout():

@@ -1,0 +1,109 @@
+"""Trace the jitted TRAIN step (fwd+bwd+Adam+EMA) and attribute device
+time to source lines — finds backward-pass pathologies (scatter-heavy
+gather transposes etc.).
+
+Run: python tools/trace_train.py  (alone)
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main(H=512, W=512, D=48, iters=2, top=40):
+    from sherf_tpu.core.config import ModelConfig, RenderConfig, TrainConfig
+    from sherf_tpu.data import make_synthetic_batch
+    from sherf_tpu.features.sparseconv import prepare_voxel_volume
+    from sherf_tpu.models import SHERFGenerator
+    from sherf_tpu.smpl import synthetic_smpl, smpl_forward, big_pose_params
+    from sherf_tpu.train import create_train_state, make_train_step
+
+    smpl = synthetic_smpl(0)
+    bp = big_pose_params()
+    t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
+                                      jnp.asarray(bp["shapes"]))[0])
+    _, out_sh = prepare_voxel_volume(t_verts)
+    cfg = ModelConfig(compute_dtype="bfloat16", render=RenderConfig(
+        depth_resolution=D, point_capacity_frac=1 / 16,
+        ray_capacity_frac=0.375, exact_capacity_frac=1 / 48))
+    tcfg = TrainConfig(batch_size=1, lr=2.5e-3)
+    model = SHERFGenerator(cfg, out_sh=out_sh)
+    batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
+    scfg = ModelConfig(compute_dtype="bfloat16",
+                       render=RenderConfig(depth_resolution=4))
+    small = SHERFGenerator(scfg, out_sh=out_sh)
+    tiny = make_synthetic_batch(smpl, batch_size=1, H=8, W=8, seed=0)
+    variables = jax.jit(lambda b: small.init(jax.random.PRNGKey(0), b,
+                                             smpl))(tiny)
+    params = variables.pop("params")
+    state = create_train_state(params, dict(variables), tcfg)
+    step = make_train_step(model, smpl, tcfg, donate=False)
+
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    np.asarray(m["loss"])
+    print("warm done", file=sys.stderr)
+
+    os.system("rm -rf /tmp/jaxtrace_train")
+    jax.profiler.start_trace("/tmp/jaxtrace_train")
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.PRNGKey(i + 1))
+        np.asarray(m["loss"])
+    jax.profiler.stop_trace()
+
+    # attribute via jaxpr metadata in the trace events themselves is not
+    # available; reuse the HLO of the compiled step
+    txt = step.lower(state, batch, jax.random.PRNGKey(0)).compile().as_text()
+    print("HLO chars:", len(txt), file=sys.stderr)
+    meta = {}
+    for mm in re.finditer(
+            r'%([\w.\-]+) = [^\n]*?metadata=\{op_name="([^"]*)"'
+            r'(?:[^}]*?source_file="([^"]*)")?'
+            r'(?:[^}]*?source_line=(\d+))?', txt):
+        name, op_name, src, line = mm.groups()
+        if name not in meta:
+            tag = (f"{src.split('/')[-1]}:{line}" if src else "")
+            # mark transpose (backward) ops
+            t = "bwd" if "transpose" in op_name else "fwd"
+            meta[name] = (tag, op_name.split("/")[-1][:20], t)
+
+    paths = sorted(glob.glob("/tmp/jaxtrace_train/**/*.trace.json.gz",
+                             recursive=True))
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    ev = data["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tpu_pid = next(p for p, n in pids.items() if "TPU" in n)
+    tids = {e["tid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "thread_name"
+            and e["pid"] == tpu_pid}
+    op_tids = {t for t, n in tids.items() if n == "XLA Ops"}
+    by_src = collections.defaultdict(float)
+    n_by = collections.Counter()
+    for e in ev:
+        if (e.get("ph") == "X" and e["pid"] == tpu_pid
+                and e["tid"] in op_tids):
+            tag, kind, t = meta.get(e.get("name", ""), ("", "", ""))
+            key = (f"{tag:32s} {kind:20s} {t}" if tag or kind
+                   else f"<unattr: {e.get('name', '')[:36]}>")
+            by_src[key] += e.get("dur", 0)
+            n_by[key] += 1
+    total = sum(by_src.values()) / 1000 / iters
+    print(f"device total: {total:.1f} ms/step")
+    for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{v / 1000 / iters:8.2f} ms x{n_by[k] // iters:<4d} {k}")
+
+
+if __name__ == "__main__":
+    main()
