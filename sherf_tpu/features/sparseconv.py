@@ -445,18 +445,27 @@ def trilinear_site_sample_packed(feats, grid, shape, pos):
     b = jnp.clip(p0, 0, jnp.asarray(shape, jnp.int32) - 1)
     rows = jnp.take(packed, _flat(b, shape), axis=0)        # (N, 8) ids
 
-    # fold the per-corner group remap (clipped boundaries) into per-group
-    # weights, exactly as trilinear_dense_sample_packed does
-    wg = jnp.zeros((pos.shape[0], 8), pos.dtype)
-    for o in _CORNERS8:
-        cz = p0 + o
-        inb = _inbounds(cz, shape)
-        grp = (jnp.clip(cz[:, 0] - b[:, 0], 0, 1) * 4
-               + jnp.clip(cz[:, 1] - b[:, 1], 0, 1) * 2
-               + jnp.clip(cz[:, 2] - b[:, 2], 0, 1))
-        w = jnp.prod(jnp.where(o[None, :] == 1, frac, 1.0 - frac), axis=-1)
-        onehot = (grp[:, None] == jnp.arange(8)[None, :]).astype(pos.dtype)
-        wg = wg + onehot * (w * inb)[:, None]
+    # per-group weights factorize per axis: packed slot g of base row b
+    # holds the grid value at b+g, and the corner p0+o lands in slot
+    # g = o + (p0 - b), so wg[:, (gz,gy,gx)] = prod_axis wa[:, g_a] with
+    # wa the 1-D interpolation weight of axis-corner o_a = g_a - delta_a
+    # (zero when o_a is outside {0,1} or the coordinate is out of bounds).
+    # The 8-corner fold this replaces cost ~41ms/step in (N,8) elementwise
+    # traffic; this is 6 (N,) weights + one outer product.
+    def axis_w(c, f, dim):
+        delta = c - jnp.clip(c, 0, dim - 1)
+        out = []
+        for g in (0, 1):
+            o = g - delta
+            valid = (o >= 0) & (o <= 1) & (c + o >= 0) & (c + o <= dim - 1)
+            out.append(jnp.where(valid, jnp.where(o == 1, f, 1.0 - f), 0.0))
+        return out  # [(N,), (N,)]
+
+    wz = axis_w(p0[:, 0], frac[:, 0], shape[0])
+    wy = axis_w(p0[:, 1], frac[:, 1], shape[1])
+    wx = axis_w(p0[:, 2], frac[:, 2], shape[2])
+    wg = jnp.stack([wz[gz] * wy[gy] * wx[gx]
+                    for gz, gy, gx in _CORNERS8], axis=-1)  # (N, 8)
 
     feats_pad = jnp.concatenate(
         [jnp.zeros((1, C), feats.dtype), feats], 0)
