@@ -207,15 +207,16 @@ def downsample_sites(grid_in, shape_in, cap: int):
     Computed as one reduce_window max over the (already built) input index
     grid — out[o] = any(in[2o-1 .. 2o+1]) — instead of scattering the <=8
     candidate parents per site (the scatter measured ~4ms per downsample);
-    compacted to ``cap`` static sites."""
+    compacted to ``cap`` static sites with the streaming pallas compaction
+    (jnp.nonzero's cumsum+scatter lowering cost ~4ms per downsample)."""
+    from sherf_tpu.kernels.compaction import compact_mask
     shape_out = tuple((s - 1) // 2 + 1 for s in shape_in)
     occ_in = (grid_in > 0).reshape(shape_in)
     occ = lax.reduce_window(occ_in, False, lax.bitwise_or, (3, 3, 3),
                             (2, 2, 2), ((1, 1), (1, 1), (1, 1)))
     assert occ.shape == shape_out, (occ.shape, shape_out)
-    (idx,) = jnp.nonzero(occ.reshape(-1), size=cap, fill_value=-1)
-    new_valid = idx >= 0
-    idx = jnp.maximum(idx, 0)
+    idx, new_valid = compact_mask(occ.reshape(-1), cap)
+    idx = jnp.where(new_valid, idx, 0)
     d = idx // (shape_out[1] * shape_out[2])
     h = (idx // shape_out[2]) % shape_out[1]
     w = idx % shape_out[2]
@@ -472,8 +473,11 @@ def trilinear_site_sample_packed(feats, grid, shape, pos):
     # fused weighted gather: forward is the elementwise sum over the 8
     # corner rows (an einsum here becomes 262k tiny (1,8)x(8,C) matmuls,
     # ~5ms/frame measured); backward accumulates the table gradient as
-    # weighted multi-hot matmuls instead of a duplicate-heavy scatter
-    return weighted_gather(feats_pad, rows, wg)
+    # weighted multi-hot matmuls instead of a duplicate-heavy scatter.
+    # w_grad=False: the weights derive from query positions, which are
+    # pure data (ray samples + SMPL warps) — no parameter ever needs their
+    # cotangent, and XLA kept the ~8ms/step d_w re-gather otherwise.
+    return weighted_gather(feats_pad, rows, wg, w_grad=False)
 
 
 def trilinear_site_sample(feats, grid, shape, pos):

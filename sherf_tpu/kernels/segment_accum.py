@@ -34,8 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 # escape hatch for A/B profiling: SHERF_MULTIHOT=0 forces the scatter adjoint
 _USE_MULTIHOT = os.environ.get("SHERF_MULTIHOT", "1") != "0"
 
-_P_TILE = 1024
-_V_TILE = 512
+_P_TILE = int(os.environ.get("SHERF_MULTIHOT_P", "1024"))
+_V_TILE = int(os.environ.get("SHERF_MULTIHOT_V", "512"))
 
 
 def _waccum_kernel(lo_ref, hi_ref, ids_ref, w_ref, g_ref, out_ref, *,
@@ -148,7 +148,7 @@ def _scatter_accumulate(ids, w, grads, n_rows):
 
 
 @functools.lru_cache(maxsize=None)
-def _weighted_gather_for(n_rows: int, dtype_name: str):
+def _weighted_gather_for(n_rows: int, dtype_name: str, w_grad: bool):
     """custom_vjp instance specialized on the static table shape/dtype
     (residuals may only carry arrays, so S/dtype live in the closure)."""
 
@@ -171,22 +171,30 @@ def _weighted_gather_for(n_rows: int, dtype_name: str):
             d = weighted_accumulate(idf, wf, gf, n_rows)
         else:
             d = _scatter_accumulate(idf, wf, gf, n_rows)
-        # d_w re-gathers the rows (cheap; dead-code-eliminated when the
-        # query positions carry no gradient, the production case)
-        rows = table[ids.reshape(-1)].reshape(*ids.shape, C)
-        dw = jnp.einsum("...c,...kc->...k", g, rows.astype(g.dtype))
-        return d.astype(dtype_name), None, dw.astype(w.dtype)
+        if w_grad:
+            # d_w re-gathers the rows
+            rows = table[ids.reshape(-1)].reshape(*ids.shape, C)
+            dw = jnp.einsum("...c,...kc->...k", g, rows.astype(g.dtype))
+            dw = dw.astype(w.dtype)
+        else:
+            # declared-zero: the caller promises the weights' cotangent is
+            # never consumed (e.g. query positions are pure data); XLA does
+            # not reliably DCE the re-gather (~8ms/step measured kept)
+            dw = jnp.zeros_like(w)
+        return d.astype(dtype_name), None, dw
 
     f.defvjp(fwd, bwd)
     return f
 
 
-def weighted_gather(table: jnp.ndarray, ids: jnp.ndarray, w: jnp.ndarray):
+def weighted_gather(table: jnp.ndarray, ids: jnp.ndarray, w: jnp.ndarray,
+                    w_grad: bool = True):
     """sum_k w[..., k] * table[ids[..., k]] with a matmul adjoint for the
     table gradient.
 
     table: (S, C); ids/w: (..., K) with ids int32 in [0, S).  S should be
-    small (<~16k).  Returns (..., C) in w's dtype.
+    small (<~16k).  Returns (..., C) in w's dtype.  Pass ``w_grad=False``
+    to declare the weights' gradient dead (returned as zeros).
     """
-    return _weighted_gather_for(table.shape[0], str(table.dtype))(
-        table, ids, w)
+    return _weighted_gather_for(table.shape[0], str(table.dtype),
+                                bool(w_grad))(table, ids, w)
