@@ -19,16 +19,21 @@ import numpy as np
 REFERENCE_FPS_BASELINE = 0.5  # A100 torch reference estimate (BASELINE.md)
 
 
-def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 16.0,
-         ray_frac=0.375, exact_frac=1.0 / 48.0):
+def main(H=512, W=512, depth=48, iters=10, capacity_frac=None,
+         ray_frac=None, exact_frac=None, margin=1.15):
+    """Budget fracs default to None = scene-calibrated (core/calibrate.py):
+    the static prune capacities are fitted to the scene's measured survivor
+    counts with `margin` headroom, exactly as a production deployment would
+    size them."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
+    from sherf_tpu.core.calibrate import calibrate_budgets
     from sherf_tpu.core.config import ModelConfig, RenderConfig
     from sherf_tpu.data import make_synthetic_batch
     from sherf_tpu.features.sparseconv import prepare_voxel_volume
-    from sherf_tpu.kernels.knn import nn_1
-    from sherf_tpu.kernels.occupancy import occupancy_mask
     from sherf_tpu.models import SHERFGenerator
     from sherf_tpu.smpl import synthetic_smpl, smpl_forward, big_pose_params
 
@@ -39,47 +44,32 @@ def main(H=512, W=512, depth=48, iters=10, capacity_frac=1.0 / 16.0,
     t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
                                       jnp.asarray(bp["shapes"]))[0])
     _, out_sh = prepare_voxel_volume(t_verts)
-    # ray budget: the synthetic scene's mask_at_box covers ~30% of rays;
-    # 37.5% static budget keeps every hitting ray (exact) with headroom
     cfg = ModelConfig(compute_dtype="bfloat16", render=RenderConfig(
-        depth_resolution=depth, point_capacity_frac=capacity_frac,
-        ray_capacity_frac=ray_frac, exact_capacity_frac=exact_frac,
-        density_noise=0.0))
-    model = SHERFGenerator(cfg, out_sh=out_sh)
+        depth_resolution=depth, density_noise=0.0))
     batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
 
-    # ---- budget validation: the static capacities must cover the scene's
-    # true survivor counts or the render silently truncates body samples
+    # ---- budget sizing: fit the static capacities to the scene's true
+    # survivor counts (or validate explicit overrides against them);
+    # an undersized budget silently truncates body samples
+    fitted, worst = calibrate_budgets([batch], cfg, margin=margin)
+    overrides = {"ray_capacity_frac": ray_frac,
+                 "point_capacity_frac": capacity_frac,
+                 "exact_capacity_frac": exact_frac}
+    fitted = dataclasses.replace(
+        fitted, **{k: v for k, v in overrides.items() if v is not None})
     M = H * W * depth
-    steps = jnp.linspace(0.0, 1.0, depth)
-    dvals = batch.near[0][:, None] + (batch.far[0]
-                                      - batch.near[0])[:, None] * steps
-    pts = (batch.ray_o[0][:, None]
-           + dvals[..., None] * batch.ray_d[0][:, None]).reshape(-1, 3)
-    from sherf_tpu.kernels.occupancy import CELL, GRID_SIZE, strided_occupancy
-    span = float(jnp.max(jnp.max(batch.vertices[0], 0)
-                         - jnp.min(batch.vertices[0], 0)))
-    assert span + 0.5 < GRID_SIZE * CELL, \
-        f"body span {span:.2f}m too large for the occupancy grid"
-    rcfg = cfg.render
-    step_max = float(jnp.max((batch.far[0] - batch.near[0]) / (depth - 1)))
-    assert step_max <= rcfg.prune_step_margin, \
-        f"depth step {step_max:.3f}m exceeds prune_step_margin"
-    occ_n = int(jax.jit(lambda p, v: strided_occupancy(
-        p.reshape(-1, depth, 3), v, stride=rcfg.prune_stride,
-        step_margin=rcfg.prune_step_margin).sum())(pts, batch.vertices[0]))
-    assert occ_n <= int(M * capacity_frac), \
-        f"voxel survivors {occ_n} overflow point budget {int(M * capacity_frac)}"
-    d2 = jax.jit(lambda q, v: nn_1(q, v)[0])(pts[::8], batch.vertices[0])
-    exact_n = int((d2 < 0.05 ** 2).sum()) * 8
-    assert exact_n <= int(M * exact_frac), \
-        f"~{exact_n} exact survivors overflow exact budget {int(M * exact_frac)}"
-    hit = int(np.asarray(batch.mask_at_box[0]).astype(bool).sum())
-    assert hit <= int(H * W * ray_frac), \
-        f"{hit} AABB-hitting rays overflow ray budget {int(H * W * ray_frac)}"
-    print(f"budgets: rays {hit}/{int(H * W * ray_frac)}, "
-          f"voxel {occ_n}/{int(M * capacity_frac)}, "
-          f"exact ~{exact_n}/{int(M * exact_frac)}", file=sys.stderr)
+    for key, n, total in (("ray_capacity_frac", worst["rays"], H * W),
+                          ("point_capacity_frac", worst["voxel"], M),
+                          ("exact_capacity_frac", worst["exact"], M)):
+        cap = int(total * getattr(fitted, key))
+        assert n <= cap, f"{key}: {n} survivors overflow budget {cap}"
+    print(f"budgets: rays {worst['rays']}"
+          f"/{int(H * W * fitted.ray_capacity_frac)}, "
+          f"voxel {worst['voxel']}/{int(M * fitted.point_capacity_frac)}, "
+          f"exact ~{worst['exact']}/{int(M * fitted.exact_capacity_frac)}",
+          file=sys.stderr)
+    cfg = dataclasses.replace(cfg, render=fitted)
+    model = SHERFGenerator(cfg, out_sh=out_sh)
 
     # init on tiny shapes — the param structure is resolution-independent
     t0 = time.perf_counter()

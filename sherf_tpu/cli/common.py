@@ -40,6 +40,10 @@ def add_model_flags(p: argparse.ArgumentParser):
     p.add_argument("--neural_rendering_resolution_initial", type=int, default=512)
     p.add_argument("--depth_resolution", type=int, default=48)
     p.add_argument("--point_capacity_frac", type=float, default=1.0 / 8.0)
+    p.add_argument("--calibrate_budgets", type=b, default=False,
+                   help="fit the static prune budgets to measured survivor "
+                        "counts of the first batch(es) (core/calibrate.py)")
+    p.add_argument("--calibrate_margin", type=float, default=1.3)
     p.add_argument("--smpl_model", type=str, default=None)
 
 
@@ -58,6 +62,25 @@ def model_config_from_args(a) -> ModelConfig:
             white_back=a.white_back,
         ),
     )
+
+
+def calibrated_config(cfg: ModelConfig, batches, margin: float = 1.3
+                      ) -> ModelConfig:
+    """Replace cfg's render budgets with scene-fitted ones (the TPU-native
+    counterpart of the reference's dynamic boolean-indexed pruning, which
+    sizes survivor tensors per frame).  Calibrate on representative
+    worst-case batches; params are budget-independent, so a model rebuilt
+    with the fitted config accepts existing checkpoints unchanged."""
+    import dataclasses
+
+    from sherf_tpu.core.calibrate import calibrate_budgets
+
+    fitted, worst = calibrate_budgets(batches, cfg, margin=margin)
+    print(f"calibrated budgets: rays {worst['rays']} -> "
+          f"frac {fitted.ray_capacity_frac:.4f}, "
+          f"voxel {worst['voxel']} -> {fitted.point_capacity_frac:.4f}, "
+          f"exact ~{worst['exact']} -> {fitted.exact_capacity_frac:.4f}")
+    return dataclasses.replace(cfg, render=fitted)
 
 
 def build_model(cfg: ModelConfig, smpl) -> Tuple[object, tuple]:

@@ -70,6 +70,11 @@ def main(argv=None):
     from sherf_tpu.data.base import collate
 
     example = collate([probe[0]])
+    if a.calibrate_budgets:
+        from sherf_tpu.cli.common import calibrated_config
+
+        cfg = calibrated_config(cfg, [example], margin=a.calibrate_margin)
+        model, out_sh = build_model(cfg, smpl)
     variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, smpl))(example)
     params = dict(variables).pop("params")
     extra = {k: v for k, v in variables.items() if k != "params"}

@@ -1,0 +1,109 @@
+"""Scene-adaptive sizing of the renderer's static capacity budgets.
+
+The reference sizes every pruning stage dynamically with boolean indexing
+(renderer.py:315-321): the survivor tensors are exactly as large as the
+scene demands, frame by frame.  XLA needs static shapes, so the TPU
+renderer compacts into fixed budgets (``RenderConfig.point_capacity_frac``
+etc.) — and a loose budget silently pays for sample slots the scene never
+fills (the last ~35% of the exact-survivor budget was dead work at the
+default fractions).
+
+``calibrate_budgets`` measures the actual survivor counts of one or more
+representative batches on device and returns a RenderConfig whose budgets
+cover the worst observed frame times a safety margin, rounded up for
+compile-cache friendliness.  The renderer re-validates at run time in the
+same way bench.py asserts: an overflowing budget truncates body samples,
+so calibrate with representative (worst-case pose/view) batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(n: int, mult: int) -> int:
+    return int(math.ceil(n / mult) * mult)
+
+
+def measure_budgets(batch, cfg) -> dict:
+    """Survivor counts for one batch at the production prune settings.
+
+    Returns {"rays": .., "voxel": .., "exact": .., "step_max": ..,
+    "span": ..} (ints / floats, host-side).
+    """
+    from sherf_tpu.kernels.knn import nn_1
+    from sherf_tpu.kernels.occupancy import strided_occupancy
+
+    rcfg = cfg.render
+    H_W = batch.ray_o.shape[1]
+    D = rcfg.depth_resolution
+    steps = jnp.linspace(0.0, 1.0, D)
+    out = {"rays": 0, "voxel": 0, "exact": 0, "step_max": 0.0, "span": 0.0}
+    for b in range(batch.ray_o.shape[0]):
+        dvals = batch.near[b][:, None] + (batch.far[b]
+                                          - batch.near[b])[:, None] * steps
+        pts = (batch.ray_o[b][:, None]
+               + dvals[..., None] * batch.ray_d[b][:, None]).reshape(-1, 3)
+        occ_n = int(jax.jit(lambda p, v: strided_occupancy(
+            p.reshape(-1, D, 3), v, stride=rcfg.prune_stride,
+            step_margin=rcfg.prune_step_margin).sum())(
+                pts, batch.vertices[b]))
+        # exact count estimated on a 1/8 depth subsample (x8), same as the
+        # bench validation; the margin covers the estimator error
+        d2 = jax.jit(lambda q, v: nn_1(q, v)[0])(pts[::8], batch.vertices[b])
+        exact_n = int((d2 < rcfg.prune_threshold_sq).sum()) * 8
+        hit = int(np.asarray(batch.mask_at_box[b]).astype(bool).sum())
+        out["rays"] = max(out["rays"], hit)
+        out["voxel"] = max(out["voxel"], occ_n)
+        out["exact"] = max(out["exact"], exact_n)
+        out["step_max"] = max(out["step_max"], float(jnp.max(
+            (batch.far[b] - batch.near[b]) / (D - 1))))
+        out["span"] = max(out["span"], float(jnp.max(
+            jnp.max(batch.vertices[b], 0) - jnp.min(batch.vertices[b], 0))))
+    return out
+
+
+def calibrate_budgets(batches: Iterable, cfg, margin: float = 1.2,
+                      round_to: int = 8192):
+    """Returns (RenderConfig with fitted budgets, measured dict).
+
+    ``batches``: representative SHERFBatch instances (worst-case poses and
+    views); ``margin``: multiplicative headroom over the worst observation.
+    """
+    from sherf_tpu.kernels.occupancy import CELL, GRID_SIZE
+
+    rcfg = cfg.render
+    worst = {"rays": 0, "voxel": 0, "exact": 0, "step_max": 0.0, "span": 0.0}
+    H_W = None
+    D = rcfg.depth_resolution
+    for batch in batches:
+        m = measure_budgets(batch, cfg)
+        H_W = batch.ray_o.shape[1]
+        for k in ("rays", "voxel", "exact"):
+            worst[k] = max(worst[k], m[k])
+        worst["step_max"] = max(worst["step_max"], m["step_max"])
+        worst["span"] = max(worst["span"], m["span"])
+    assert H_W is not None, "need at least one calibration batch"
+    assert worst["span"] + 0.5 < GRID_SIZE * CELL, \
+        f"body span {worst['span']:.2f}m too large for the occupancy grid"
+    assert worst["step_max"] <= rcfg.prune_step_margin, \
+        (f"depth step {worst['step_max']:.3f}m exceeds prune_step_margin "
+         f"{rcfg.prune_step_margin}; raise it or the depth resolution")
+
+    M = H_W * D
+    caps = {k: min(_round_up(int(worst[k] * margin), round_to), total)
+            for k, total in (("rays", H_W), ("voxel", M), ("exact", M))}
+    fitted = dataclasses.replace(
+        rcfg,
+        ray_capacity_frac=caps["rays"] / H_W,
+        point_capacity_frac=caps["voxel"] / M,
+        exact_capacity_frac=caps["exact"] / M,
+    )
+    return fitted, worst

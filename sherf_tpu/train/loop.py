@@ -56,8 +56,15 @@ def build_dataset(dcfg: DataConfig, smpl: SMPLModel):
 
 def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
                   smpl: SMPLModel, batch_source: Optional[Callable] = None,
-                  progress_fn: Optional[Callable] = None):
-    """batch_source: optional () -> SHERFBatch override (tests/synthetic)."""
+                  progress_fn: Optional[Callable] = None,
+                  abort_fn: Optional[Callable] = None,
+                  profile_steps: Optional[tuple] = None):
+    """batch_source: optional () -> SHERFBatch override (tests/synthetic).
+    abort_fn: optional () -> bool polled every report interval; True stops
+    training after a final snapshot (reference training_loop.py:155,521).
+    profile_steps: optional (start, stop) step range captured with
+    jax.profiler into run_dir/trace (the reference's record_function /
+    Timing/<phase> machinery, training_loop.py:257-262)."""
     run_dir = tcfg.outdir
     os.makedirs(run_dir, exist_ok=True)
     with open(os.path.join(run_dir, "training_options.json"), "w") as f:
@@ -115,25 +122,46 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
     rng = jax.random.PRNGKey(tcfg.seed)
     t_tick = time.time()
     start_step = int(state.step)
+    aborted = False
     for step in range(start_step, total_steps):
+        if profile_steps is not None and step == profile_steps[0]:
+            jax.profiler.start_trace(os.path.join(run_dir, "trace"))
+        t0 = time.time()
         batch = shard_batch(batch_source(), mesh)
+        t1 = time.time()
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
+        # dispatch is async; the data-fetch share of the wall clock is still
+        # the scheduling-relevant signal (reference Timing/data_fetch)
         stats.report(metrics, prefix="Loss/")
+        stats.report({"data_fetch": t1 - t0, "step_dispatch": time.time() - t1},
+                     prefix="Timing/")
+        if profile_steps is not None and step + 1 == profile_steps[1]:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), state.params)
+            jax.profiler.stop_trace()
+            print(f"profiler trace -> {os.path.join(run_dir, 'trace')}")
 
         if (step + 1) % report_every == 0:
+            stats.report_resources()
             means = stats.flush(step + 1)
             imgs = (step + 1) * tcfg.batch_size
             sec_kimg = (time.time() - t_tick) / max(report_every * tcfg.batch_size, 1) * 1000
             t_tick = time.time()
-            line = " ".join(f"{k.split('/')[-1]} {v:.4f}" for k, v in means.items())
+            line = " ".join(f"{k.split('/')[-1]} {v:.4f}"
+                            for k, v in means.items()
+                            if k.startswith("Loss/"))
             print(f"kimg {imgs / 1000:.2f} sec/kimg {sec_kimg:.1f} {line}")
             if progress_fn is not None:
                 progress_fn(step + 1, means)
+            aborted = abort_fn is not None and bool(abort_fn())
 
-        if (step + 1) % snapshot_every == 0 or step + 1 == total_steps:
+        if (step + 1) % snapshot_every == 0 or step + 1 == total_steps or aborted:
             path = save_checkpoint(os.path.join(run_dir, "checkpoints"), state)
             print(f"snapshot -> {path}")
+        if aborted:
+            print("abort_fn requested stop; exiting training loop")
+            break
 
     stats.close()
     return state

@@ -56,6 +56,29 @@ class StatsCollector:
         self._counts.clear()
         return means
 
+    def report_resources(self):
+        """Host + device memory scalars (reference training_loop.py:509-511
+        cpumem/gpumem via psutil/torch.cuda)."""
+        try:
+            import resource
+
+            rss_gb = (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                      / 2 ** 20)  # linux ru_maxrss is KiB
+            self.report({"cpu_mem_gb": rss_gb}, prefix="Resources/")
+        except Exception:
+            pass
+        try:
+            import jax
+
+            ms = jax.local_devices()[0].memory_stats() or {}
+            if "bytes_in_use" in ms:
+                self.report({"device_mem_gb": ms["bytes_in_use"] / 2 ** 30,
+                             "device_peak_gb": ms.get(
+                                 "peak_bytes_in_use", 0) / 2 ** 30},
+                            prefix="Resources/")
+        except Exception:
+            pass
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:

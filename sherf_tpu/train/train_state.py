@@ -58,7 +58,8 @@ def create_train_state(params, extra_vars: Dict, tcfg: TrainConfig) -> SHERFTrai
     return SHERFTrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        ema_params=jax.tree.map(lambda x: x, params),
+        # a true copy: aliased buffers break donation (donated twice)
+        ema_params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         opt_state=tx.init(params),
         extra_vars=extra_vars,
         tx=tx,

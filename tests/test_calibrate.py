@@ -1,0 +1,93 @@
+"""Scene-adaptive budget calibration (sherf_tpu/core/calibrate.py).
+
+The reference sizes pruning stages dynamically (boolean indexing,
+renderer equivalent at lib/networks/renderer/if_clight_renderer.py); the
+TPU renderer uses static budgets, and calibrate_budgets fits them to a
+scene.  These tests check the fitted budgets (a) cover the measured
+survivor counts with the requested margin, (b) are rounded for
+compile-cache friendliness, and (c) never exceed the dense totals.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sherf_tpu.core.calibrate import calibrate_budgets, measure_budgets
+from sherf_tpu.core.config import ModelConfig, RenderConfig
+from sherf_tpu.data import make_synthetic_batch
+from sherf_tpu.smpl import synthetic_smpl
+
+
+H = W = 64
+D = 8
+
+
+@pytest.fixture(scope="module")
+def scene():
+    smpl = synthetic_smpl(0)
+    batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
+    # 8 samples/ray means coarse depth steps; widen the prune margin to
+    # match (production uses 48 samples with the default 0.06m margin)
+    cfg = ModelConfig(render=RenderConfig(depth_resolution=D,
+                                          prune_step_margin=0.3,
+                                          density_noise=0.0))
+    return batch, cfg
+
+
+def test_measure_budgets_counts(scene):
+    batch, cfg = scene
+    m = measure_budgets(batch, cfg)
+    hit = int(np.asarray(batch.mask_at_box[0]).astype(bool).sum())
+    assert m["rays"] == hit
+    M = H * W * D
+    assert 0 < m["voxel"] <= M
+    assert 0 <= m["exact"] <= M
+    # exact survivors are a subset of voxel survivors up to the x8
+    # depth-subsample estimator's rounding
+    assert m["exact"] <= m["voxel"] + 8 * H * W
+    assert m["step_max"] > 0 and m["span"] > 0
+
+
+def test_calibrate_covers_with_margin(scene):
+    batch, cfg = scene
+    fitted, worst = calibrate_budgets([batch], cfg, margin=1.25,
+                                      round_to=128)
+    M = H * W * D
+    caps = {
+        "rays": int(H * W * fitted.ray_capacity_frac),
+        "voxel": int(M * fitted.point_capacity_frac),
+        "exact": int(M * fitted.exact_capacity_frac),
+    }
+    for k in caps:
+        assert caps[k] >= worst[k], (k, caps[k], worst[k])
+        # margin honoured unless clamped at the dense total
+        total = H * W if k == "rays" else M
+        if caps[k] < total:
+            assert caps[k] >= int(worst[k] * 1.25)
+            assert caps[k] % 128 == 0 or caps[k] == total
+        assert caps[k] <= total
+
+
+def test_calibrate_worst_over_batches(scene):
+    batch, cfg = scene
+    smpl = synthetic_smpl(0)
+    other = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=3)
+    fitted_two, worst_two = calibrate_budgets([batch, other], cfg,
+                                              margin=1.0, round_to=1)
+    m1 = measure_budgets(batch, cfg)
+    m2 = measure_budgets(other, cfg)
+    for k in ("rays", "voxel", "exact"):
+        assert worst_two[k] == max(m1[k], m2[k])
+
+
+def test_calibrate_rejects_oversized_step():
+    smpl = synthetic_smpl(0)
+    batch = make_synthetic_batch(smpl, batch_size=1, H=16, W=16, seed=0)
+    # 2 samples/ray makes the depth step span the whole near-far range,
+    # far beyond any sane prune_step_margin
+    cfg = ModelConfig(render=RenderConfig(depth_resolution=2,
+                                          density_noise=0.0))
+    with pytest.raises(AssertionError, match="prune_step_margin"):
+        calibrate_budgets([batch], cfg)

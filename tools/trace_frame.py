@@ -1,4 +1,5 @@
-"""Capture a device trace of the production frame and print the top ops.
+"""Capture a device trace of the production frame (bench.py's exact
+config) and attribute device time to source lines.
 
 Run: python tools/trace_frame.py  (alone; writes /tmp/jaxtrace)
 """
@@ -8,6 +9,7 @@ import glob
 import gzip
 import json
 import os
+import re
 import sys
 
 import numpy as np
@@ -30,12 +32,18 @@ def main(H=512, W=512, D=48, iters=3, top=40):
     t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
                                       jnp.asarray(bp["shapes"]))[0])
     _, out_sh = prepare_voxel_volume(t_verts)
+    # must match bench.py exactly or the attribution misleads: same
+    # scene-calibrated budgets (margin 1.15) as bench.main's default
+    import dataclasses
+
+    from sherf_tpu.core.calibrate import calibrate_budgets
+
     cfg = ModelConfig(compute_dtype="bfloat16", render=RenderConfig(
-        depth_resolution=D, point_capacity_frac=1 / 24,
-        ray_capacity_frac=0.375, exact_capacity_frac=1 / 48,
-        density_noise=0.0))
-    model = SHERFGenerator(cfg, out_sh=out_sh)
+        depth_resolution=D, density_noise=0.0))
     batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
+    fitted, _ = calibrate_budgets([batch], cfg, margin=1.15)
+    cfg = dataclasses.replace(cfg, render=fitted)
+    model = SHERFGenerator(cfg, out_sh=out_sh)
     scfg = ModelConfig(compute_dtype="bfloat16",
                        render=RenderConfig(depth_resolution=4,
                                            density_noise=0.0))
@@ -55,8 +63,21 @@ def main(H=512, W=512, D=48, iters=3, top=40):
         np.asarray(out.ravel()[0])
     jax.profiler.stop_trace()
 
-    paths = glob.glob("/tmp/jaxtrace/**/*.trace.json.gz", recursive=True)
-    with gzip.open(paths[0]) as f:
+    txt = fwd.lower(variables, batch).compile().as_text()
+    print("HLO chars:", len(txt), file=sys.stderr)
+    meta = {}
+    for mm in re.finditer(
+            r'%([\w.\-]+) = [^\n]*?metadata=\{op_name="([^"]*)"'
+            r'(?:[^}]*?source_file="([^"]*)")?'
+            r'(?:[^}]*?source_line=(\d+))?', txt):
+        name, op_name, src, line = mm.groups()
+        if name not in meta:
+            tag = (f"{src.split('/')[-1]}:{line}" if src else "")
+            meta[name] = (tag, op_name.split("/")[-1][:20])
+
+    paths = sorted(glob.glob("/tmp/jaxtrace/**/*.trace.json.gz",
+                             recursive=True))
+    with gzip.open(paths[-1]) as f:
         data = json.load(f)
     ev = data["traceEvents"]
     pids = {e["pid"]: e["args"].get("name", "") for e in ev
@@ -66,24 +87,20 @@ def main(H=512, W=512, D=48, iters=3, top=40):
             if e.get("ph") == "M" and e.get("name") == "thread_name"
             and e["pid"] == tpu_pid}
     op_tids = {t for t, n in tids.items() if n == "XLA Ops"}
-    agg = collections.defaultdict(float)
-    cnt = collections.Counter()
-    meta = {}
+    by_src = collections.defaultdict(float)
+    n_by = collections.Counter()
     for e in ev:
         if (e.get("ph") == "X" and e["pid"] == tpu_pid
                 and e["tid"] in op_tids):
-            name = e.get("name", "")
-            agg[name] += e.get("dur", 0)
-            cnt[name] += 1
-            args = e.get("args") or {}
-            src = args.get("source_file")
-            if src and name not in meta:
-                meta[name] = f"{src.split('/')[-1]}:{args.get('source_line')}"
-    total = sum(agg.values()) / 1000 / iters
-    print(f"device total: {total:.1f} ms/frame over {iters} iters")
-    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"{v / 1000 / iters:8.2f} ms  x{cnt[k] // iters:<3d} {k[:60]:60s}"
-              f" {meta.get(k, '')}")
+            tag, kind = meta.get(e.get("name", ""), ("", ""))
+            key = (f"{tag:32s} {kind:20s}" if tag or kind
+                   else f"<unattr: {e.get('name', '')[:36]}>")
+            by_src[key] += e.get("dur", 0)
+            n_by[key] += 1
+    total = sum(by_src.values()) / 1000 / iters
+    print(f"device total: {total:.1f} ms/frame")
+    for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{v / 1000 / iters:8.2f} ms x{n_by[k] // iters:<4d} {k}")
 
 
 if __name__ == "__main__":
