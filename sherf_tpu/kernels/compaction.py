@@ -23,6 +23,7 @@ entries in order, sentinel n elsewhere.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 8192  # samples per program; multiple of 128
+# samples per program; multiple of 128 (env knob for A/B profiling)
+BLK = int(os.environ.get("SHERF_COMPACT_BLK", "8192"))
 
 
 def _kernel(off_ref, mask_ref, out_ref, *, n: int, cap_pad: int):

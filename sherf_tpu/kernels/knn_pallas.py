@@ -14,6 +14,7 @@ multiple of VT with far-away sentinels so padded columns never win.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -21,8 +22,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-P_TILE = 1024      # points per program (sublanes)
-V_TILE = 2048      # vertices per inner tile (lanes of the distance tile)
+# tile knobs (env overrides for A/B profiling)
+P_TILE = int(os.environ.get("SHERF_KNN_P", "1024"))   # points per program
+V_TILE = int(os.environ.get("SHERF_KNN_V", "2048"))   # vertices per inner tile
 SENTINEL = 1e6     # padded-vertex coordinate
 
 

@@ -34,8 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 # escape hatch for A/B profiling: SHERF_MULTIHOT=0 forces the scatter adjoint
 _USE_MULTIHOT = os.environ.get("SHERF_MULTIHOT", "1") != "0"
 
+# tile defaults from an on-chip sweep (tools/bench_train.py, v5e): the out
+# block staying VMEM-resident across the point sweep favors WIDE table
+# tiles — V=2048 beat 512 by ~21 ms/step on the production train step
+# (fewer t-passes over every point tile's multi-hot build); P=2048
+# overflows VMEM ((P, V) f32 accumulator), P=512 regresses ~160 ms.
 _P_TILE = int(os.environ.get("SHERF_MULTIHOT_P", "1024"))
-_V_TILE = int(os.environ.get("SHERF_MULTIHOT_V", "512"))
+_V_TILE = int(os.environ.get("SHERF_MULTIHOT_V", "2048"))
 
 
 def _waccum_kernel(lo_ref, hi_ref, ids_ref, w_ref, g_ref, out_ref, *,
