@@ -19,7 +19,7 @@ import numpy as np
 REFERENCE_FPS_BASELINE = 0.5  # A100 torch reference estimate (BASELINE.md)
 
 
-def main(H=512, W=512, depth=48, iters=10, capacity_frac=None,
+def main(H=512, W=512, depth=48, iters=30, capacity_frac=None,
          ray_frac=None, exact_frac=None, margin=1.15):
     """Budget fracs default to None = scene-calibrated (core/calibrate.py):
     the static prune capacities are fitted to the scene's measured survivor

@@ -31,8 +31,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# samples per program; multiple of 128 (env knob for A/B profiling)
-BLK = int(os.environ.get("SHERF_COMPACT_BLK", "8192"))
+# samples per program; multiple of 128 (env knob for A/B profiling).
+# 4096 beat 8192 by ~2.3 ms/frame on the production render, reproducibly
+# at 30-iter sustained timing (smaller blocks shorten the per-block roll
+# chain; the per-program overhead is amortized enough at 4096).
+BLK = int(os.environ.get("SHERF_COMPACT_BLK", "4096"))
 
 
 def _kernel(off_ref, mask_ref, out_ref, *, n: int, cap_pad: int):

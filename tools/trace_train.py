@@ -38,8 +38,15 @@ def main(H=512, W=512, D=48, iters=2, top=40):
         depth_resolution=D, point_capacity_frac=1 / 16,
         ray_capacity_frac=0.375, exact_capacity_frac=1 / 48))
     tcfg = TrainConfig(batch_size=1, lr=2.5e-3)
-    model = SHERFGenerator(cfg, out_sh=out_sh)
     batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
+    # same scene-calibrated budgets as tools/bench_train.py / bench.py
+    import dataclasses
+
+    from sherf_tpu.core.calibrate import calibrate_budgets
+
+    fitted, _ = calibrate_budgets([batch], cfg, margin=1.15)
+    cfg = dataclasses.replace(cfg, render=fitted)
+    model = SHERFGenerator(cfg, out_sh=out_sh)
     scfg = ModelConfig(compute_dtype="bfloat16",
                        render=RenderConfig(depth_resolution=4))
     small = SHERFGenerator(scfg, out_sh=out_sh)
