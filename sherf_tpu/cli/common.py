@@ -84,8 +84,11 @@ def calibrated_config(cfg: ModelConfig, batches, margin: float = 1.3
 
 
 def build_model(cfg: ModelConfig, smpl) -> Tuple[object, tuple]:
+    import dataclasses
+
     import jax.numpy as jnp
 
+    from sherf_tpu.core.calibrate import calibrate_sparse_caps
     from sherf_tpu.features.sparseconv import prepare_voxel_volume
     from sherf_tpu.models import SHERFGenerator
     from sherf_tpu.smpl.lbs import big_pose_params, smpl_forward
@@ -94,4 +97,8 @@ def build_model(cfg: ModelConfig, smpl) -> Tuple[object, tuple]:
     t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
                                       jnp.asarray(bp["shapes"]))[0])
     _, out_sh = prepare_voxel_volume(t_verts, voxel_size=cfg.voxel_size)
+    # fit the sparse-conv site capacities to this body's exact per-scale
+    # site counts (undersized caps silently truncate volume features)
+    caps = calibrate_sparse_caps([t_verts], cfg.voxel_size)
+    cfg = dataclasses.replace(cfg, sparse_caps=caps)
     return SHERFGenerator(cfg, out_sh=out_sh), out_sh

@@ -32,6 +32,59 @@ def _round_up(n: int, mult: int) -> int:
     return int(math.ceil(n / mult) * mult)
 
 
+def measure_sparse_sites(t_vertices, voxel_size: float, pad: float = 0.05):
+    """Exact occupied-site counts of the sparse-conv volume at each
+    downsampled scale (the site sets SparseConv3d(kernel 3, stride 2,
+    pad 1) produces — spconv's rulebook, renderer.py:862-871).
+
+    The counts are deterministic per canonical body (t_vertices is the
+    big-pose SMPL output), so this runs host-side in NumPy.  Returns a list
+    of 3 ints: sites after down0 / down1 / down2.
+    """
+    from sherf_tpu.features.sparseconv import prepare_voxel_volume
+
+    t_vertices = np.asarray(t_vertices)
+    min_dhw, out_sh = prepare_voxel_volume(t_vertices, pad=pad,
+                                           voxel_size=voxel_size)
+    dhw = t_vertices[:, [2, 1, 0]]
+    coords = np.asarray(jnp.round(jnp.asarray(
+        (dhw - min_dhw) / voxel_size))).astype(np.int64)
+    occ = np.zeros(out_sh, bool)
+    occ[coords[:, 0], coords[:, 1], coords[:, 2]] = True
+    counts = []
+    for _ in range(3):
+        so = tuple((s - 1) // 2 + 1 for s in occ.shape)
+        padded = np.pad(occ, 1)
+        nxt = np.zeros(so, bool)
+        for dz in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    nxt |= padded[dz:dz + 2 * so[0]:2,
+                                  dy:dy + 2 * so[1]:2,
+                                  dx:dx + 2 * so[2]:2]
+        occ = nxt
+        counts.append(int(occ.sum()))
+    return counts
+
+
+def calibrate_sparse_caps(t_vertices_list, voxel_size: float,
+                          margin: float = 1.1, round_to: int = 256,
+                          pad: float = 0.05):
+    """Fit ``ModelConfig.sparse_caps`` to the true per-scale site counts.
+
+    An undersized cap silently TRUNCATES the site list in
+    ``downsample_sites`` (zeroing real body features near the dropped
+    sites), and an oversized one pays 27-neighbor gathers for empty rows,
+    so both directions matter.  ``t_vertices_list``: canonical vertices of
+    every subject the model will serve (counts are static per subject).
+    """
+    worst = [0, 0, 0]
+    for tv in t_vertices_list:
+        counts = measure_sparse_sites(tv, voxel_size, pad=pad)
+        worst = [max(w, c) for w, c in zip(worst, counts)]
+    return tuple(_round_up(int(c * margin), round_to) for c in worst)
+
+
 def measure_budgets(batch, cfg) -> dict:
     """Survivor counts for one batch at the production prune settings.
 

@@ -97,8 +97,12 @@ class ModelConfig:
     # sparse 3D conv feature volume
     voxel_size: float = 0.005
     sparse_conv_layers: int = 4
-    # static site capacities of the three downsample stages
-    sparse_caps: Tuple[int, int, int] = (8192, 8192, 8192)
+    # static site capacities of the three downsample stages.  The defaults
+    # cover a typical adult SMPL body at 5 mm voxels (measured ~19.2k /
+    # 12.3k / 3.6k occupied sites); fit them to the served subjects with
+    # core.calibrate.calibrate_sparse_caps — an undersized cap silently
+    # truncates body features, an oversized one pays for empty gathers.
+    sparse_caps: Tuple[int, int, int] = (22528, 14336, 4352)
     # compute dtype for the conv/matmul hot paths ('float32' | 'bfloat16')
     compute_dtype: str = "float32"
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)

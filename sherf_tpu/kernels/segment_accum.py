@@ -171,7 +171,7 @@ def _weighted_gather_for(n_rows: int, dtype_name: str, w_grad: bool):
         gf = g.reshape(-1, C)
         idf = ids.reshape(-1, ids.shape[-1])
         wf = w.reshape(-1, w.shape[-1])
-        if _USE_MULTIHOT and n_rows <= 16384 \
+        if _USE_MULTIHOT and n_rows <= 32768 \
                 and jax.default_backend() in ("tpu", "axon"):
             d = weighted_accumulate(idf, wf, gf, n_rows)
         else:

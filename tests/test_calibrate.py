@@ -91,3 +91,45 @@ def test_calibrate_rejects_oversized_step():
                                           density_noise=0.0))
     with pytest.raises(AssertionError, match="prune_step_margin"):
         calibrate_budgets([batch], cfg)
+
+
+def test_sparse_site_counts_match_live_downsample():
+    """measure_sparse_sites (host NumPy) must count exactly the site sets
+    the live downsample_sites cascade produces — and the shipped default
+    sparse_caps must cover a typical body (an undersized cap silently
+    truncates volume features; this regressed once at caps=(8192,)*3)."""
+    import jax
+
+    from sherf_tpu.core.calibrate import (calibrate_sparse_caps,
+                                          measure_sparse_sites)
+    from sherf_tpu.features.sparseconv import (
+        build_index_grid, downsample_sites, prepare_voxel_volume,
+        voxelize_coords)
+    from sherf_tpu.smpl import big_pose_params, smpl_forward
+
+    smpl = synthetic_smpl(0)
+    bp = big_pose_params()
+    t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
+                                      jnp.asarray(bp["shapes"]))[0])
+    voxel = 0.02  # coarse grid keeps the dense index grids test-sized
+    counts = measure_sparse_sites(t_verts, voxel)
+    assert counts[0] > counts[1] > counts[2] > 0
+
+    min_dhw, out_sh = prepare_voxel_volume(t_verts, voxel_size=voxel)
+    coords = voxelize_coords(jnp.asarray(t_verts), min_dhw, voxel)
+    grid = build_index_grid(coords, jnp.ones(coords.shape[0], bool), out_sh)
+    shape = out_sh
+    for i in range(3):
+        cap = counts[i] + 64  # roomy: survivor count must be exact
+        nc, nv, shape = downsample_sites(grid, shape, cap)
+        assert int(jax.device_get(nv.sum())) == counts[i], f"scale {i}"
+        grid = build_index_grid(nc, nv, shape)
+
+    caps = calibrate_sparse_caps([t_verts], voxel, margin=1.1, round_to=256)
+    assert all(c >= n for c, n in zip(caps, counts))
+    assert all(c % 256 == 0 for c in caps)
+
+    # the production default must cover the production-voxel body
+    prod = measure_sparse_sites(t_verts, 0.005)
+    default = ModelConfig().sparse_caps
+    assert all(c >= n for c, n in zip(default, prod)), (default, prod)
