@@ -46,14 +46,15 @@ def main(H=512, W=512, depth=48, iters=30, capacity_frac=None,
     from sherf_tpu.core.calibrate import calibrate_sparse_caps, \
         measure_sparse_sites
 
-    _, out_sh = prepare_voxel_volume(t_verts)
-    sparse_caps = calibrate_sparse_caps([t_verts], 0.005)
-    sites = measure_sparse_sites(t_verts, 0.005)
-    assert all(n <= c for n, c in zip(sites, sparse_caps)), (sites, sparse_caps)
-    print(f"sparse sites {sites} -> caps {sparse_caps}", file=sys.stderr)
-    cfg = ModelConfig(compute_dtype="bfloat16", sparse_caps=sparse_caps,
+    cfg = ModelConfig(compute_dtype="bfloat16",
                       render=RenderConfig(
                           depth_resolution=depth, density_noise=0.0))
+    _, out_sh = prepare_voxel_volume(t_verts, voxel_size=cfg.voxel_size)
+    sparse_caps = calibrate_sparse_caps([t_verts], cfg.voxel_size)
+    sites = measure_sparse_sites(t_verts, cfg.voxel_size)
+    assert all(n <= c for n, c in zip(sites, sparse_caps)), (sites, sparse_caps)
+    print(f"sparse sites {sites} -> caps {sparse_caps}", file=sys.stderr)
+    cfg = dataclasses.replace(cfg, sparse_caps=sparse_caps)
     batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
 
     # ---- budget sizing: fit the static capacities to the scene's true

@@ -47,7 +47,7 @@ def main(argv=None):
 
     smpl = resolve_smpl(a.smpl_model)
     cfg = model_config_from_args(a)
-    model, _ = build_model(cfg, smpl)
+    model, _, cfg = build_model(cfg, smpl)
 
     # render + collect features
     from sherf_tpu.data import make_synthetic_batch

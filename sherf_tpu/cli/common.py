@@ -83,7 +83,19 @@ def calibrated_config(cfg: ModelConfig, batches, margin: float = 1.3
     return dataclasses.replace(cfg, render=fitted)
 
 
-def build_model(cfg: ModelConfig, smpl) -> Tuple[object, tuple]:
+def build_model(cfg: ModelConfig, smpl, calibration_bodies=None,
+                caps_margin: float = 1.3) -> Tuple[object, tuple, ModelConfig]:
+    """Construct the flagship generator.  Returns (model, out_sh, cfg) —
+    the returned cfg is the one the model was actually built with (callers
+    must use it for logging / serialization / rebuilds).
+
+    Sparse-conv site capacities: auto-calibrated ONLY when cfg.sparse_caps
+    is None; an explicitly configured value (e.g. fitted across the served
+    subjects) is never overwritten.  ``calibration_bodies``: optional list
+    of canonical (big-pose) vertex arrays of the served subjects; defaults
+    to the big-pose body of ``smpl`` alone, with ``caps_margin`` headroom
+    to absorb subject-shape variation (runtime occupancy is re-checked by
+    the renderer's overflow counters)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -97,8 +109,10 @@ def build_model(cfg: ModelConfig, smpl) -> Tuple[object, tuple]:
     t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
                                       jnp.asarray(bp["shapes"]))[0])
     _, out_sh = prepare_voxel_volume(t_verts, voxel_size=cfg.voxel_size)
-    # fit the sparse-conv site capacities to this body's exact per-scale
-    # site counts (undersized caps silently truncate volume features)
-    caps = calibrate_sparse_caps([t_verts], cfg.voxel_size)
-    cfg = dataclasses.replace(cfg, sparse_caps=caps)
-    return SHERFGenerator(cfg, out_sh=out_sh), out_sh
+    if cfg.sparse_caps is None:
+        bodies = (list(calibration_bodies) if calibration_bodies is not None
+                  else [t_verts])
+        caps = calibrate_sparse_caps(bodies, cfg.voxel_size,
+                                     margin=caps_margin)
+        cfg = dataclasses.replace(cfg, sparse_caps=caps)
+    return SHERFGenerator(cfg, out_sh=out_sh), out_sh, cfg

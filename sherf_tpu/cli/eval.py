@@ -34,7 +34,7 @@ def main(argv=None):
 
     cfg = model_config_from_args(a)
     smpl = resolve_smpl(a.smpl_model)
-    model, out_sh = build_model(cfg, smpl)
+    model, out_sh, cfg = build_model(cfg, smpl)
 
     # eval subjects (test_loop.py:102-151); fall back to explicit list
     humans_root = os.path.dirname(a.data)
@@ -74,7 +74,7 @@ def main(argv=None):
         from sherf_tpu.cli.common import calibrated_config
 
         cfg = calibrated_config(cfg, [example], margin=a.calibrate_margin)
-        model, out_sh = build_model(cfg, smpl)
+        model, out_sh, cfg = build_model(cfg, smpl)
     variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, smpl))(example)
     params = dict(variables).pop("params")
     extra = {k: v for k, v in variables.items() if k != "params"}

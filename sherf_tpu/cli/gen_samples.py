@@ -39,7 +39,7 @@ def main(argv=None):
     cfg = ModelConfig(render=RenderConfig(depth_resolution=a.depth,
                                           point_capacity_frac=0.25,
                                           density_noise=0.0))
-    model, _ = build_model(cfg, smpl)
+    model, _, cfg = build_model(cfg, smpl)
 
     variables = None
     for seed in a.seeds:

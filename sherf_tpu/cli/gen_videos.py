@@ -52,7 +52,7 @@ def main(argv=None):
     cfg = ModelConfig(render=RenderConfig(depth_resolution=a.depth,
                                           point_capacity_frac=0.25,
                                           density_noise=0.0))
-    model, _ = build_model(cfg, smpl)
+    model, _, cfg = build_model(cfg, smpl)
     base = make_synthetic_batch(smpl, batch_size=1, H=a.size, W=a.size, seed=0)
 
     variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, smpl))(base)

@@ -27,7 +27,7 @@ def main(argv=None):
     cfg = ModelConfig(render=RenderConfig(depth_resolution=a.depth,
                                           point_capacity_frac=0.25,
                                           density_noise=0.0))
-    model, out_sh = build_model(cfg, smpl)
+    model, out_sh, cfg = build_model(cfg, smpl)
     batch = make_synthetic_batch(smpl, batch_size=1, H=a.size, W=a.size, seed=0)
 
     t0 = time.perf_counter()

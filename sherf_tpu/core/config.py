@@ -21,6 +21,11 @@ def _asdict(obj) -> dict:
     return dataclasses.asdict(obj)
 
 
+# Fallback sparse-conv site capacities: a typical adult SMPL body at 5 mm
+# voxels with ~15% margin (see ModelConfig.sparse_caps).
+DEFAULT_SPARSE_CAPS: Tuple[int, int, int] = (22528, 14336, 4352)
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Volume rendering options (reference ``train.py:328-351`` rendering_kwargs)."""
@@ -97,15 +102,22 @@ class ModelConfig:
     # sparse 3D conv feature volume
     voxel_size: float = 0.005
     sparse_conv_layers: int = 4
-    # static site capacities of the three downsample stages.  The defaults
-    # cover a typical adult SMPL body at 5 mm voxels (measured ~19.2k /
-    # 12.3k / 3.6k occupied sites); fit them to the served subjects with
-    # core.calibrate.calibrate_sparse_caps — an undersized cap silently
-    # truncates body features, an oversized one pays for empty gathers.
-    sparse_caps: Tuple[int, int, int] = (22528, 14336, 4352)
+    # static site capacities of the three downsample stages.  None = use
+    # DEFAULT_SPARSE_CAPS, which cover a typical adult SMPL body at 5 mm
+    # voxels (measured ~19.2k / 12.3k / 3.6k occupied sites); fit them to
+    # the served subjects with core.calibrate.calibrate_sparse_caps — an
+    # undersized cap silently truncates body features, an oversized one
+    # pays for empty gathers.  build_model auto-calibrates ONLY when this
+    # is None; an explicitly configured value is never overwritten.
+    sparse_caps: Optional[Tuple[int, int, int]] = None
     # compute dtype for the conv/matmul hot paths ('float32' | 'bfloat16')
     compute_dtype: str = "float32"
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+
+    @property
+    def resolved_sparse_caps(self) -> Tuple[int, int, int]:
+        return (tuple(self.sparse_caps) if self.sparse_caps is not None
+                else DEFAULT_SPARSE_CAPS)
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self))

@@ -1,4 +1,5 @@
-from sherf_tpu.data.synthetic import make_synthetic_batch, synthetic_camera
+from sherf_tpu.data.synthetic import (SyntheticDataset, make_synthetic_batch,
+    synthetic_camera)
 from sherf_tpu.data.base import (
     HumanDataset, collate, sample_rays_for_image, get_bound_2d_mask,
 )
@@ -17,6 +18,7 @@ DATASETS = {
 
 __all__ = [
     "make_synthetic_batch",
+    "SyntheticDataset",
     "synthetic_camera",
     "HumanDataset",
     "collate",

@@ -120,3 +120,79 @@ def make_synthetic_batch(smpl: SMPLModel, batch_size: int = 1, H: int = 32,
         obs_img=st("obs_img"),
         obs_K=st("oK"), obs_R=st("oR"), obs_T=st("oT"),
     )
+
+
+class SyntheticDataset:
+    """On-the-fly synthetic dataset with the standard item schema.
+
+    Yields per-item dicts in the ``data/base.py collate`` schema, so the
+    normal ``PrefetchLoader`` + ``collate`` pipeline (and therefore
+    ``DataConfig(name="synthetic")``) works without any files on disk.
+    Item ``i`` is deterministic in (seed, i).
+    """
+
+    camera_view_num = 4
+
+    def __init__(self, smpl: SMPLModel, H: int = 64, W: int = 64,
+                 poses_num: int = 20, size: int = 64, seed: int = 0,
+                 pose_scale: float = 0.25):
+        self.smpl = smpl
+        self.H, self.W = H, W
+        self.poses_num = poses_num
+        self.size = size
+        self.seed = seed
+        self.pose_scale = pose_scale
+
+        bp = big_pose_params()
+        t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
+                                          jnp.asarray(bp["shapes"]))[0])
+        t_min = t_verts.min(0) - 0.05
+        t_max = t_verts.max(0) + 0.05
+        t_min[2] -= 0.1
+        t_max[2] += 0.1
+        self._t_verts = t_verts.astype(np.float32)
+        self._t_bounds = np.stack([t_min, t_max]).astype(np.float32)
+        self._t_params = dict(poses=bp["poses"], shapes=bp["shapes"],
+                              R=bp["R"], Th=bp["Th"])
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(self.seed * 100003 + i)
+        H, W = self.H, self.W
+        pose = (rng.randn(72) * self.pose_scale).astype(np.float32)
+        pose[:3] = 0
+        shape = (rng.randn(10) * 0.3).astype(np.float32)
+        R_g = np.eye(3, dtype=np.float32)
+        Th = rng.randn(3).astype(np.float32) * 0.05
+        params = dict(poses=pose, shapes=shape, R=R_g, Th=Th)
+
+        v_smpl = np.asarray(smpl_forward(self.smpl, jnp.asarray(pose),
+                                         jnp.asarray(shape))[0])
+        verts = (v_smpl @ np.linalg.inv(R_g) + Th).astype(np.float32)
+
+        wb = np.stack([verts.min(0) - 0.05, verts.max(0) + 0.05])
+        K, Rc, Tc = synthetic_camera(H, W, rng)
+        ray_o, ray_d = get_rays_np(H, W, K, Rc, Tc)
+        ray_o = ray_o.reshape(-1, 3)
+        ray_d = ray_d.reshape(-1, 3)
+        near, far, mask = near_far_aabb_np(wb, ray_o, ray_d)
+
+        oK, oR, oT = synthetic_camera(H, W, rng)
+        obs_img = _splat_image(H, W, oK, oR, oT, verts, rng)
+        tgt_img = _splat_image(H, W, K, Rc, Tc, verts, rng)
+
+        return dict(
+            img=tgt_img.astype(np.float32),
+            ray_o=ray_o, ray_d=ray_d, near=near, far=far,
+            mask_at_box=mask,
+            bkgd_msk=mask.astype(np.float32).reshape(-1),
+            params=params, vertices=verts,
+            obs_img=obs_img.astype(np.float32),
+            obs_K=oK.astype(np.float32), obs_R=oR.astype(np.float32),
+            obs_T=oT.reshape(3, 1).astype(np.float32),
+            obs_params=params, obs_vertices=verts,
+            t_params=self._t_params, t_vertices=self._t_verts,
+            t_world_bounds=self._t_bounds,
+        )

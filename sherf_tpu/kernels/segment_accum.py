@@ -16,7 +16,9 @@ one-hot adjoint measured *slower* than the scatter).  Multi-hot rows and
 grad rows are rounded to bf16 (accumulation stays f32), and (t, m) grid
 cells whose point tile cannot hit the table tile — per-tile id ranges are
 scalar-prefetched — skip their compute.  Only sensible for SMALL tables
-(S up to ~16k rows).
+(S up to 32768 rows; the per-tile id-range skipping keeps the multi-hot
+cost near-linear in occupied tiles as S grows — measured faster than the
+scatter fallback up to 32k rows on v5e, the round-1 train-budget sweep).
 
 CPU/other backends fall back to the plain scatter-add adjoint.
 """
@@ -198,7 +200,8 @@ def weighted_gather(table: jnp.ndarray, ids: jnp.ndarray, w: jnp.ndarray,
     table gradient.
 
     table: (S, C); ids/w: (..., K) with ids int32 in [0, S).  S should be
-    small (<~16k).  Returns (..., C) in w's dtype.  Pass ``w_grad=False``
+    small (<= 32768; larger tables fall back to the scatter adjoint).
+    Returns (..., C) in w's dtype.  Pass ``w_grad=False``
     to declare the weights' gradient dead (returned as zeros).
     """
     return _weighted_gather_for(table.shape[0], str(table.dtype),

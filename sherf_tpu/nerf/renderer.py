@@ -113,7 +113,8 @@ class SHERFRenderer(nn.Module):
             # makes XLA loop-ify the site lookups (~190ms/frame measured)
             self.encoder_3d = SparseConvNet(
                 num_layers=self.cfg.sparse_conv_layers, out_sh=self.out_sh,
-                caps=tuple(self.cfg.sparse_caps), dtype=cdt, name="encoder_3d")
+                caps=self.cfg.resolved_sparse_caps, dtype=cdt,
+                name="encoder_3d")
             # 192 -> 96 (renderer.py:271)
             self.conv1d_projection = nn.Dense(96, dtype=cdt,
                                               name="conv1d_projection")

@@ -32,19 +32,10 @@ from sherf_tpu.train.train_state import create_train_state
 
 def build_dataset(dcfg: DataConfig, smpl: SMPLModel):
     if dcfg.name == "synthetic":
-        from sherf_tpu.data.synthetic import make_synthetic_batch
+        from sherf_tpu.data.synthetic import SyntheticDataset
 
-        class _Synthetic:
-            camera_view_num = 4
-            poses_num = dcfg.poses_num
-
-            def __len__(self):
-                return 64
-
-            def __getitem__(self, i):
-                raise NotImplementedError
-
-        return _Synthetic()
+        return SyntheticDataset(smpl, H=dcfg.resolution, W=dcfg.resolution,
+                                poses_num=dcfg.poses_num)
     cls = DATASETS[dcfg.name]
     return cls(dcfg.data_root, smpl, split=dcfg.split,
                multi_person=dcfg.multi_person, num_instance=dcfg.num_instance,

@@ -127,7 +127,8 @@ class VizRenderer:
                 depth_resolution=depth_resolution,
                 point_capacity_frac=0.25, density_noise=0.0,
                 white_back=white_back))
-            self._models[key] = build_model(cfg, self._get_smpl())
+            model, out_sh, _cfg = build_model(cfg, self._get_smpl())
+            self._models[key] = (model, out_sh)
         return self._models[key]
 
     def _get_scene(self, seed: int, resolution: int, pose_scale: float):

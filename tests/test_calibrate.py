@@ -131,5 +131,5 @@ def test_sparse_site_counts_match_live_downsample():
 
     # the production default must cover the production-voxel body
     prod = measure_sparse_sites(t_verts, 0.005)
-    default = ModelConfig().sparse_caps
+    default = ModelConfig().resolved_sparse_caps
     assert all(c >= n for c, n in zip(default, prod)), (default, prod)
