@@ -1,0 +1,141 @@
+"""END-TO-END numerical parity: the assembled reference TriPlaneGenerator
+(running on CPU with pure-torch stand-ins for its CUDA-only deps) vs our
+SHERFGenerator with the SAME weights imported via compat.legacy_import.
+
+This is the system-level oracle the submodule tests cannot provide: it pins
+the full pipeline — mapping -> backbone -> voxelization -> sparse conv ->
+stratified sampling -> KNN prune -> LBS warps -> feature banks -> fusion ->
+decoder -> ray march — against the reference model end to end
+(reference triplane.py:81-237, volumetric_rendering/renderer.py:286-437).
+
+The reference generator is constructed with its own random init
+(torch.manual_seed), its state_dict is imported with
+compat.legacy_import.import_sherf_generator, and both sides render the same
+synthetic batch in deterministic eval mode (noise_mode='none',
+density_noise=0, parity mode point_capacity_frac=1.0).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from sherf_tpu.compat import reference_runtime as rr
+from sherf_tpu.compat.legacy_import import import_sherf_generator
+from sherf_tpu.core.config import ModelConfig, RenderConfig
+from sherf_tpu.data import make_synthetic_batch
+from sherf_tpu.models import SHERFGenerator
+from sherf_tpu.smpl import big_pose_params, smpl_forward, synthetic_smpl
+
+BACKBONE_RES = 64      # reference hardcodes 256 (triplane.py:59); shrunk for
+                       # CPU CI — the 256 path is pinned by test_stylegan2 and
+                       # exercised at full size by tools/parity_e2e.py
+H = W = 32
+DEPTH = 8
+
+
+@pytest.fixture(scope="module")
+def parity(tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("refrun"))
+    smpl = synthetic_smpl(0)
+
+    rk = rr.default_rendering_kwargs(depth_resolution=DEPTH)
+    G = rr.load_reference_generator(
+        smpl, workdir, rendering_kwargs=rk, seed=0,
+        backbone_resolution=BACKBONE_RES)
+
+    # A freshly-initialized NeRF decoder emits sigma ~ 0 everywhere, which
+    # composites to an (almost) empty image — a vacuous parity check.  Bias
+    # the density head positive and widen the rgb head so the body renders
+    # with real structure; both sides share the mutated weights.
+    with torch.no_grad():
+        G.decoder.alpha_linear.bias += 4.0
+        G.decoder.alpha_linear.weight *= 3.0
+        G.decoder.rgb_linear.weight *= 5.0
+
+    sd = {k: v for k, v in G.state_dict().items()}
+    params, stats, noise, ema = import_sherf_generator(
+        sd, backbone_resolution=BACKBONE_RES)
+
+    batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
+
+    # ---- reference forward (deterministic eval)
+    inp = rr.reference_input_from_batch(batch)
+    with torch.no_grad():
+        ref = G(inp, torch.randn(1, 512), torch.zeros(1, 25),
+                neural_rendering_resolution=H, use_sr_module=False,
+                test_flag=True, noise_mode="none")
+
+    # ---- our forward, same weights, parity mode
+    from sherf_tpu.core.calibrate import calibrate_sparse_caps
+    from sherf_tpu.features.sparseconv import prepare_voxel_volume
+
+    bp = big_pose_params()
+    t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
+                                      jnp.asarray(bp["shapes"]))[0])
+    cfg = ModelConfig(
+        backbone_resolution=BACKBONE_RES,
+        sparse_caps=calibrate_sparse_caps([t_verts], 0.005),
+        render=RenderConfig(depth_resolution=DEPTH, point_capacity_frac=1.0,
+                            density_noise=0.0))
+    _, out_sh = prepare_voxel_volume(t_verts, voxel_size=cfg.voxel_size)
+    model = SHERFGenerator(cfg, out_sh=out_sh)
+    variables = {"params": params, "batch_stats": stats, "noise": noise,
+                 "ema": ema}
+    ours = jax.jit(lambda v, b: model.apply(v, b, smpl))(variables, batch)
+
+    return dict(G=G, smpl=smpl, batch=batch, ref=ref, ours=ours,
+                variables=variables, model=model, cfg=cfg)
+
+
+def _psnr(a, b, data_range=2.0):
+    mse = float(np.mean((a - b) ** 2))
+    return 10.0 * np.log10(data_range ** 2 / max(mse, 1e-12))
+
+
+def test_render_is_not_vacuous(parity):
+    """The parity comparison only means something if the body renders."""
+    ref_w = parity["ref"]["weights_image"].numpy()
+    ref_img = parity["ref"]["image_raw"].numpy()
+    assert ref_w.max() > 0.9, ref_w.max()
+    assert (ref_w > 0.5).mean() > 0.03, (ref_w > 0.5).mean()
+    assert ref_img.std() > 0.05, ref_img.std()
+
+
+def test_image_raw_parity(parity):
+    ref_img = parity["ref"]["image_raw"].numpy()          # (1, 3, H, W)
+    our_img = np.asarray(parity["ours"]["image_raw"])     # (1, H, W, 3)
+    ref_img = np.transpose(ref_img, (0, 2, 3, 1))
+    psnr = _psnr(ref_img, our_img)
+    assert psnr > 45.0, f"image_raw PSNR {psnr:.2f} dB"
+
+
+def test_depth_and_weights_parity(parity):
+    ref_d = parity["ref"]["image_depth"].numpy().reshape(1, H, W)
+    our_d = np.asarray(parity["ours"]["image_depth"]).reshape(1, H, W)
+    ref_w = parity["ref"]["weights_image"].numpy().reshape(1, H, W)
+    our_w = np.asarray(parity["ours"]["weights_image"]).reshape(1, H, W)
+    assert np.allclose(ref_w, our_w, atol=2e-3), (
+        np.abs(ref_w - our_w).max())
+    # depth only matters where something was hit
+    hit = ref_w > 0.5
+    if hit.any():
+        assert np.allclose(ref_d[hit], our_d[hit], atol=5e-3), (
+            np.abs(ref_d[hit] - our_d[hit]).max())
+
+
+def test_mapping_parity(parity):
+    """ws from the image embedding agree (triplane.py:73-79)."""
+    G, batch = parity["G"], parity["batch"]
+    obs = torch.from_numpy(np.asarray(batch.obs_img, np.float32)).permute(
+        0, 3, 1, 2)
+    with torch.no_grad():
+        ws_ref = G.mapping(None, torch.zeros(1, 25), input_img=obs).numpy()
+    model, variables = parity["model"], parity["variables"]
+    ws_ours = np.asarray(jax.jit(
+        lambda v, im: model.apply(v, im, method=model.mapping)
+    )(variables, batch.obs_img))
+    assert np.allclose(ws_ref, ws_ours, atol=2e-4), (
+        np.abs(ws_ref - ws_ours).max())
