@@ -96,6 +96,27 @@ def main(H=512, W=512, depth=48, iters=30, capacity_frac=None,
     print(f"compile+first render: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     assert bool(jnp.isfinite(out).all()), "non-finite render output"
 
+    # runtime budget watchdog: the calibrated static capacities must not
+    # truncate a single real sample on the benched scene (core/diag.py)
+    from sherf_tpu.core.diag import overflow_report
+
+    _, mvars = jax.jit(lambda v, b: model.apply(v, b, smpl, mutable=["diag"]))(
+        variables, batch)
+    overflow = overflow_report(jax.device_get(mvars.get("diag", {})))
+    print(f"budget overflow counters: {overflow}", file=sys.stderr)
+    assert all(v == 0 for v in overflow.values()), overflow
+
+    # FLOPs estimate for an MFU figure (guarded: the remote-compile relay
+    # may not expose cost analysis)
+    flops_per_frame = None
+    try:
+        cost = fwd.lower(variables, batch).compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops_per_frame = float(c.get("flops", 0.0)) or None
+    except Exception as e:  # noqa: BLE001
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
     # warm; NOTE: on the axon platform block_until_ready does not actually
     # block, so timing forces host readbacks instead
     np.asarray(fwd(variables, batch).ravel()[0])
@@ -124,12 +145,27 @@ def main(H=512, W=512, depth=48, iters=30, capacity_frac=None,
           f"({lat * 1e3:.1f} ms latency; {rays_per_sec / 1e6:.2f}M rays/s, "
           f"{rays_per_sec * depth / 1e9:.2f}G samples/s)", file=sys.stderr)
 
-    print(json.dumps({
+    result = {
         "metric": f"render_fps_{H}x{W}",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
+        # NOTE: the reference repo publishes no benchmark numbers and this
+        # environment cannot run its CUDA eval, so the denominator is the
+        # documented 0.5 fps A100 estimate from BASELINE.md — an estimate,
+        # not a measurement.  rays/s and MFU below are the honest
+        # hardware-relative figures.
         "vs_baseline": round(fps / REFERENCE_FPS_BASELINE, 2),
-    }))
+        "baseline_is_estimate": True,
+        "latency_ms": round(lat * 1e3, 2),
+        "sustained_ms": round(dt * 1e3, 2),
+        "rays_per_sec": round(rays_per_sec),
+        "overflow": overflow,
+    }
+    if flops_per_frame:
+        # v5e peak: 197 TFLOP/s bf16 (one chip)
+        result["mfu_est"] = round(flops_per_frame * fps / 197e12, 4)
+        result["gflops_per_frame"] = round(flops_per_frame / 1e9, 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

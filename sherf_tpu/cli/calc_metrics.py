@@ -54,6 +54,7 @@ def main(argv=None):
 
     variables = None
     reals, fakes = FeatureStats(capture_all=True), FeatureStats(capture_all=True)
+    fake_images = []  # [0,1] renders retained for the IS classifier pass
     for i in range(a.num_items):
         batch = make_synthetic_batch(smpl, batch_size=1, H=a.size, W=a.size,
                                      seed=i)
@@ -65,6 +66,8 @@ def main(argv=None):
         real = np.asarray(batch.img)
         fakes.append(extractor(fake * 2 - 1))
         reals.append(extractor(real * 2 - 1))
+        if "is" in a.metrics:
+            fake_images.append(fake)
 
     results = {}
     if "fid" in a.metrics:
@@ -76,13 +79,21 @@ def main(argv=None):
         pr = precision_recall(reals.get_all(), fakes.get_all())
         results["precision"], results["recall"] = pr
     if "is" in a.metrics:
-        # IS over the pluggable classifier's softmax (the reference hardwires
-        # Inception-v3, which cannot be fetched here — inception_score.py)
+        # IS: reference-defined over Inception softmax when weights exist
+        # (inception_score.py:21-26); else over the pluggable extractor's
+        # softmax as a stand-in
         from sherf_tpu.eval.gan_metrics import inception_score
+        from sherf_tpu.features.inception import inception_extractor
 
-        logits = fakes.get_all()
-        e = np.exp(logits - logits.max(1, keepdims=True))
-        mean, std = inception_score(e / e.sum(1, keepdims=True))
+        cls = inception_extractor(logits=True)
+        if cls is not None and fake_images:
+            probs = np.concatenate([cls(np.asarray(f)) for f in fake_images],
+                                   axis=0)
+            mean, std = inception_score(probs)
+        else:
+            logits = fakes.get_all()
+            e = np.exp(logits - logits.max(1, keepdims=True))
+            mean, std = inception_score(e / e.sum(1, keepdims=True))
         results["is_mean"], results["is_std"] = mean, std
     if "ppl" in a.metrics:
         results["ppl"] = _ppl(model, variables, smpl, a, fwd_raw=None)

@@ -19,6 +19,12 @@ def main(argv=None):
     p.add_argument("--subjects", nargs="*", default=None,
                    help="override eval subject dirs")
     p.add_argument("--use_ema", type=lambda s: s.lower() == "true", default=True)
+    p.add_argument("--obs_pose_mode", choices=["reference", "first"],
+                   default="reference",
+                   help="novel-pose observation indexing: 'reference' "
+                   "replicates test_loop.py:267's re-based obs_pose_index "
+                   "quirk for metric parity; 'first' pins the observation "
+                   "to the np_pose_start pose itself")
     from sherf_tpu.cli.common import add_model_flags
     add_model_flags(p)
     a = p.parse_args(argv)
@@ -73,7 +79,20 @@ def main(argv=None):
     if a.calibrate_budgets:
         from sherf_tpu.cli.common import calibrated_config
 
-        cfg = calibrated_config(cfg, [example], margin=a.calibrate_margin)
+        # calibrate over a POSE/VIEW SWEEP of each eval subject, not one
+        # frame (VERDICT r1: budgets fitted to a single body truncate
+        # harder poses) — every pose in the protocol range, a few views
+        sweep = []
+        for root in subjects:
+            ds = make_dataset(root, proto["np_pose_start"],
+                              proto["pose_interval"], proto["pose_num"])
+            for p in range(proto["pose_num"]):
+                for v in proto["obs_views"][:2]:
+                    idx = p * ds.camera_view_num + int(v)
+                    if idx < len(ds):
+                        sweep.append(collate([ds[idx]]))
+        cfg = calibrated_config(cfg, sweep or [example],
+                                margin=a.calibrate_margin)
         model, out_sh, cfg = build_model(cfg, smpl)
     variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, smpl))(example)
     params = dict(variables).pop("params")
@@ -82,14 +101,30 @@ def main(argv=None):
     state = restore_checkpoint(a.resume, state)
     use_params = state.ema_params if a.use_ema else state.params
 
-    fwd = jax.jit(lambda b: model.apply({"params": use_params, **state.extra_vars},
-                                        b, smpl))
+    from sherf_tpu.core.diag import overflow_report
+
+    raw_fwd = jax.jit(lambda b: model.apply(
+        {"params": use_params, **state.extra_vars}, b, smpl,
+        mutable=["diag"]))
+
+    def fwd(b):
+        out, mvars = raw_fwd(b)
+        # fail loud if a static budget truncated real body samples: a
+        # silently corrupted render would poison the metric tables
+        overflow = overflow_report(jax.device_get(mvars.get("diag", {})))
+        if any(v > 0 for v in overflow.values()):
+            raise RuntimeError(
+                f"capacity budget overflow during eval: {overflow}; "
+                "re-run with --calibrate_budgets/--calibrate_margin or "
+                "larger capacity fracs")
+        return out
 
     results = run_eval(
         fwd, make_dataset, subjects, list(proto["obs_views"]), a.outdir,
         nv_pose_start=proto["nv_pose_start"], np_pose_start=proto["np_pose_start"],
         pose_interval=proto["pose_interval"], pose_num=proto["pose_num"],
-        data_interval=1 if a.cfg == "humman" else 2)
+        data_interval=1 if a.cfg == "humman" else 2,
+        obs_pose_mode=a.obs_pose_mode)
     print(results)
 
 

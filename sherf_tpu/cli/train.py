@@ -48,8 +48,35 @@ def main(argv=None):
                    default=True)
     p.add_argument("--mesh", type=str, default=None,
                    help="device mesh as 'data,rays', e.g. '4,2'")
+    p.add_argument("--adv_weight", type=float, default=0.0,
+                   help="adversarial G-loss weight; >0 builds the dual "
+                   "discriminator and runs Dmain + lazy-R1 Dreg phases "
+                   "(reference training_loop.py:243-256; 0 in all shipped "
+                   "SHERF configs)")
+    p.add_argument("--dlr", type=float, default=2e-3)
+    p.add_argument("--gamma", type=float, default=10.0,
+                   help="R1 gamma (reference train.py --gamma)")
+    p.add_argument("--d_reg_interval", type=int, default=16)
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address 'host:port' "
+                   "(or set SHERF_COORDINATOR); one JAX process per host "
+                   "replaces the reference's per-GPU spawn (train.py:32-52)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     add_model_flags(p)
     a = p.parse_args(argv)
+
+    # multi-host process group first, before any other jax use
+    from sherf_tpu.parallel.multihost import maybe_initialize_distributed
+
+    proc, n_proc = maybe_initialize_distributed(
+        a.coordinator, a.num_processes, a.process_id)
+    if n_proc > 1:
+        import jax
+
+        print(f"multi-host: process {proc}/{n_proc}, "
+              f"{len(jax.local_devices())} local / "
+              f"{len(jax.devices())} global devices")
 
     cfg = model_config_from_args(a)
     dd = dict(DATA_DEFAULTS[a.cfg])
@@ -61,7 +88,9 @@ def main(argv=None):
     mesh_shape = tuple(int(x) for x in a.mesh.split(",")) if a.mesh else (1, 1)
     tcfg = TrainConfig(total_kimg=a.kimg, batch_size=a.batch, lr=a.glr,
                        seed=a.seed, outdir=a.outdir, resume=a.resume,
-                       snapshot_ticks=a.snap, mesh_shape=mesh_shape)
+                       snapshot_ticks=a.snap, mesh_shape=mesh_shape,
+                       adv_weight=a.adv_weight, d_lr=a.dlr, r1_gamma=a.gamma,
+                       d_reg_interval=a.d_reg_interval)
 
     smpl = resolve_smpl(a.smpl_model)
 

@@ -168,6 +168,14 @@ class TrainConfig:
     w_ssim: float = 1.0
     w_lpips: float = 1.0
     recons_loss: bool = True
+    # adversarial phases (reference training_loop.py:243-256 constructs
+    # Dmain/Dreg with lazy R1 every run; the shipped SHERF objective zeroes
+    # the GAN terms — loss.py:162-165 — so adv_weight defaults to 0, which
+    # skips building the discriminator entirely)
+    adv_weight: float = 0.0
+    d_lr: float = 2e-3                 # D Adam lr before mb_ratio (train.py:284)
+    r1_gamma: float = 10.0             # R1 weight (loss.py:337)
+    d_reg_interval: int = 16           # lazy-R1 cadence (training_loop.py:143)
     seed: int = 0
     kimg_per_tick: int = 1
     snapshot_ticks: int = 1

@@ -161,7 +161,18 @@ def compute_fid(real_images, gen_images, extractor: Callable) -> float:
 
 
 def default_extractor() -> Optional[Callable]:
-    """VGG16 (LPIPS weights) embedding when available, else None."""
+    """Feature embedding over images in [-1, 1].
+
+    Preference order: the reference-defined InceptionV3 pool3 features
+    (features/inception.py — the metric definition of
+    metric_utils.py:113-123) when its weights are available, else the VGG16
+    (LPIPS weights) tower, else None."""
+    from sherf_tpu.features.inception import inception_extractor
+
+    inc = inception_extractor()
+    if inc is not None:
+        return lambda imgs: inc((np.asarray(imgs) + 1.0) / 2.0)
+
     from sherf_tpu.train.lpips import VGG16Features, lpips_params
 
     params = lpips_params()

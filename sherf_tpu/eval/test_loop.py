@@ -11,9 +11,13 @@ Metrics: PSNR over mask_at_box pixels; SSIM/LPIPS on the boundingRect
 person crop.  Writes pred/gt/input PNGs and the reference's
 psnr_/ssim_/lpips_*.npy aggregates.
 
-Deviation: the reference sets obs_pose_index = np_pose_start, which indexes
-the RE-BASED pose list and can run out of bounds (test_loop.py:267); we pin
-the observation to relative index 0 — the same physical pose — instead.
+Novel-pose observation indexing: the reference sets
+``obs_pose_index = np_pose_start`` which indexes the RE-BASED pose list
+(test_loop.py:267) — i.e. the observation is the (np_pose_start)-th pose
+*after* np_pose_start, and can run out of bounds for short sequences.
+``obs_pose_mode="reference"`` (default) reproduces that exactly for metric
+parity; ``"first"`` pins the observation to relative index 0 (the
+np_pose_start pose itself — arguably what was intended).
 """
 
 from __future__ import annotations
@@ -64,7 +68,8 @@ def run_eval(render_fn: Callable, make_dataset: Callable, subjects: List[str],
              obs_views: List[int], savedir: str, nv_pose_start: int = 0,
              np_pose_start: int = 2, pose_interval: int = 1, pose_num: int = 5,
              data_interval: int = 2, protocols=("novel_view", "novel_pose"),
-             verbose: bool = True) -> Dict[str, Dict[str, float]]:
+             verbose: bool = True,
+             obs_pose_mode: str = "reference") -> Dict[str, Dict[str, float]]:
     """render_fn(batch) -> output dict; make_dataset(data_root, poses_start)
     -> HumanDataset.  Returns {protocol: {psnr, ssim, lpips}} averages."""
     results = {}
@@ -80,7 +85,11 @@ def run_eval(render_fn: Callable, make_dataset: Callable, subjects: List[str],
                 ds = make_dataset(data_root, pose_start, pose_interval, pose_num)
                 ds.obs_view_index = obs_view
                 if protocol == "novel_pose":
-                    ds.obs_pose_index = 0  # the np_pose_start pose (see module doc)
+                    # see module doc: 'reference' replicates the re-based
+                    # indexing quirk of test_loop.py:267 for metric parity
+                    ds.obs_pose_index = (np_pose_start
+                                         if obs_pose_mode == "reference"
+                                         else 0)
 
                 sub = {"psnr": [], "ssim": [], "lpips": []}
                 for k in range(len(ds)):

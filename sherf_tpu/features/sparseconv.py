@@ -221,7 +221,10 @@ def downsample_sites(grid_in, shape_in, cap: int):
     h = (idx // shape_out[2]) % shape_out[1]
     w = idx % shape_out[2]
     new_coords = jnp.stack([d, h, w], -1).astype(jnp.int32)
-    return new_coords, new_valid, shape_out
+    # occupied sites beyond the cap are silently dropped by the compaction;
+    # callers surface this count (must be 0 for a correctly calibrated cap)
+    overflow = jnp.maximum(jnp.sum(occ.astype(jnp.int32)) - cap, 0)
+    return new_coords, new_valid, shape_out, overflow
 
 
 def trilinear_dense_sample(feats, coords, valid, shape, pos):
@@ -558,7 +561,11 @@ class SparseDown(nn.Module):
 
     @nn.compact
     def __call__(self, feats, coords, grid, shape, valid, train: bool = False):
-        new_coords, new_valid, new_shape = downsample_sites(grid, shape, self.cap)
+        new_coords, new_valid, new_shape, overflow = downsample_sites(
+            grid, shape, self.cap)
+        self.sow("diag", "site_overflow", overflow,
+                 init_fn=lambda: jnp.zeros((), jnp.int32),
+                 reduce_fn=jnp.maximum)
         cin = feats.shape[-1]
         w = self.param("conv", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (3, 3, 3, cin, self.out_channels))

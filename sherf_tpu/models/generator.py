@@ -112,7 +112,8 @@ class SHERFGenerator(nn.Module):
     # ------------------------------------------------------------------
     def synthesis(self, ws: jnp.ndarray, batch: SHERFBatch, smpl: SMPLModel,
                   noise_mode: str = "none", train: bool = False,
-                  use_cached_planes: Optional[jnp.ndarray] = None):
+                  use_cached_planes: Optional[jnp.ndarray] = None,
+                  flat_output: bool = False):
         cfg = self.cfg
         B = batch.obs_img.shape[0]
 
@@ -153,6 +154,14 @@ class SHERFGenerator(nn.Module):
             batch.obs_K, batch.obs_R, batch.obs_T, smpl, train=train,
             ray_mask=batch.mask_at_box)
 
+        if flat_output:
+            # per-ray outputs for sharded callers (shard_map over the 'rays'
+            # mesh axis holds N/rm rays per shard — not an image rectangle;
+            # the caller all_gathers and re-orders before any image-space op)
+            assert not cfg.use_sr_module, \
+                "flat_output is incompatible with the SR module"
+            return {"image_raw": rgb, "image_depth": depth,
+                    "weights_image": acc, "image": rgb}
         H, W = batch.img.shape[1:3]
         out = {
             "image_raw": rgb.reshape(B, H, W, 3),
@@ -217,8 +226,9 @@ class SHERFGenerator(nn.Module):
                  truncation_psi: float = 1.0,
                  truncation_cutoff: Optional[int] = None,
                  noise_mode: str = "none", train: bool = False,
-                 update_emas: bool = False):
+                 update_emas: bool = False, flat_output: bool = False):
         ws = self.mapping(batch.obs_img, truncation_psi=truncation_psi,
                           truncation_cutoff=truncation_cutoff, train=train,
                           update_emas=update_emas)
-        return self.synthesis(ws, batch, smpl, noise_mode=noise_mode, train=train)
+        return self.synthesis(ws, batch, smpl, noise_mode=noise_mode,
+                              train=train, flat_output=flat_output)

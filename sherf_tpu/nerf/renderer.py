@@ -132,6 +132,19 @@ class SHERFRenderer(nn.Module):
         else:
             self.decoder = OSGDecoder(dtype=cdt, name="decoder")
 
+    def _sow_overflow(self, name: str, excess):
+        """Record a budget-overflow count (VERDICT r1: silent truncation).
+
+        ``excess`` = survivors - capacity, per batch item; clamped at 0 and
+        max-reduced into the 'diag' collection.  Read with
+        ``model.apply(..., mutable=["diag"])`` — a nonzero value means the
+        static budget truncated real body samples and the output is
+        corrupted; recalibrate (core.calibrate) with a larger margin."""
+        self.sow("diag", name,
+                 jnp.max(jnp.maximum(excess, 0)).astype(jnp.int32),
+                 init_fn=lambda: jnp.zeros((), jnp.int32),
+                 reduce_fn=jnp.maximum)
+
     def __call__(self,
                  planes: Optional[jnp.ndarray],      # (B, 3, Hp, Wp, C)
                  obs_img: jnp.ndarray,               # (B, H, W, 3)
@@ -157,6 +170,15 @@ class SHERFRenderer(nn.Module):
         B, N = ray_o.shape[:2]
         D = rc.depth_resolution
 
+        if rc.depth_resolution_importance > 0:
+            # hierarchical fine pass (clean version of the reference's dead
+            # fine-pass code, renderer.py:374-393); full-compute dense path
+            return self._forward_importance(
+                planes, obs_img, obs_feat, vol_feats, vol_coords, min_dhw,
+                ray_o, ray_d, near, far, ctx_target, ctx_big, ctx_obs,
+                vertices, t_vertices, t_bounds, obs_K, obs_R, obs_T, smpl,
+                train)
+
         # ---- ray compaction: rays whose AABB test missed (mask_at_box
         # False) march to background exactly (all their samples are > 5 cm
         # from the body), so restrict the whole per-sample pipeline to a
@@ -178,6 +200,8 @@ class SHERFRenderer(nn.Module):
             else:
                 ridx, rvalid = jax.vmap(
                     lambda m: _compact_indices(m, rcap))(ray_mask)
+            self._sow_overflow("ray_overflow",
+                               jnp.sum(ray_mask, axis=1) - rcap)
             gr = jnp.minimum(ridx, N - 1)
             # invalid tail rays park far outside the body so the capsule
             # prune drops every one of their samples (zero budget consumed)
@@ -233,6 +257,8 @@ class SHERFRenderer(nn.Module):
             cap = _round_up(max(int(N_full * D * rc.point_capacity_frac), 128),
                             128)
             cap = min(cap, M)
+            self._sow_overflow("point_overflow",
+                               jnp.sum(occ.astype(jnp.int32), axis=1) - cap)
             if jax.default_backend() in ("tpu", "axon"):
                 # pallas streaming compaction (kernels/compaction.py); python
                 # loop over the small static batch — the kernel's sequential
@@ -281,6 +307,9 @@ class SHERFRenderer(nn.Module):
                 cap2 = _round_up(
                     max(int(N_full * D * rc.exact_capacity_frac), 128), 128)
                 cap2 = min(cap2, cap)
+                self._sow_overflow(
+                    "exact_overflow",
+                    jnp.sum(exact_s.astype(jnp.int32), axis=1) - cap2)
                 if jax.default_backend() in ("tpu", "axon"):
                     pairs = [compact_mask(exact_s[b], cap2) for b in range(B)]
                     idx2 = jnp.stack([p[0] for p in pairs])
@@ -384,6 +413,132 @@ class SHERFRenderer(nn.Module):
             lambda c, s, t, rd: ray_march(c, s, t, rd, clamp_mode=rc.clamp_mode,
                                           white_back=rc.white_back)
         )(colors, dens, depths_r, ray_d)
+        return rgb, depth, jnp.sum(weights, axis=-1)
+
+    # ------------------------------------------------------------------
+    def _eval_points_full(self, pts, dirs, ctx_target, ctx_big, tab_t2c,
+                          tar_smpl, planes, obs_img, obs_feat, vol_feats,
+                          vol_coords, min_dhw, ctx_obs, t_vertices, t_bounds,
+                          obs_K, obs_R, obs_T, smpl, train):
+        """Full-compute (mask-only, no compaction) sample evaluation:
+        world points -> (colors, densities) with the reference's pruned-point
+        semantics (rgb zeroed, density -80, renderer.py:364-368).
+
+        pts/dirs: (B, M, 3) world-space sample positions / ray directions.
+        """
+        rc = self.cfg.render
+        q = jnp.einsum("bnc,bcd->bnd",
+                       pts - ctx_target.Th[:, None], ctx_target.R)
+        qd = jnp.einsum("bnc,bcd->bnd", dirs, ctx_target.R)
+        d2, vid, pay = jax.vmap(nn_1_tables)(q, tar_smpl, tab_t2c)
+        mask = d2 < rc.prune_threshold_sq
+        can, can_dir = jax.vmap(
+            lambda ct, cb, pp, qq, qq_d: deform_target2c_from_tables(
+                ct, cb, pp, qq, qq_d)
+        )(ctx_target, ctx_big, pay, q, qd)
+        out = self.decode_points(
+            planes, obs_img, obs_feat, vol_feats, vol_coords, min_dhw,
+            can, can_dir, ctx_obs, ctx_big, t_vertices, t_bounds,
+            obs_K, obs_R, obs_T, smpl)
+        rgb = out["rgb"]
+        sigma = out["sigma"][..., 0]
+        if train and rc.density_noise > 0:
+            noise = jax.random.normal(self.make_rng("density"), sigma.shape)
+            sigma = sigma + noise * rc.density_noise
+        colors = rgb * mask[..., None]
+        dens = jnp.where(mask, sigma, -80.0)
+        return colors, dens
+
+    def _forward_importance(self, planes, obs_img, obs_feat, vol_feats,
+                            vol_coords, min_dhw, ray_o, ray_d, near, far,
+                            ctx_target, ctx_big, ctx_obs, vertices,
+                            t_vertices, t_bounds, obs_K, obs_R, obs_T, smpl,
+                            train):
+        """Two-pass hierarchical rendering (reference renderer.py:374-393 —
+        dead code there with a stale run_model signature; implemented cleanly
+        here): coarse stratified pass -> smoothed-PDF importance depths
+        (sample_importance, renderer.py:483-542) -> second decode at the fine
+        points -> unify_samples depth sort -> one combined march.
+
+        Runs the full-compute dense pipeline (every sample evaluated, pruned
+        points masked) — the importance knob is off in all shipped configs,
+        so this path favors fidelity over the compaction machinery."""
+        from sherf_tpu.nerf.importance import sample_importance
+
+        cfg = self.cfg
+        rc = cfg.render
+        cdt = self.compute_dtype
+        B, N = ray_o.shape[:2]
+        D = rc.depth_resolution
+        Di = rc.depth_resolution_importance
+
+        if planes is not None:
+            planes = planes.astype(cdt)
+        if obs_feat is not None:
+            obs_feat = obs_feat.astype(cdt)
+        if vol_feats is not None:
+            vol_feats = vol_feats.astype(cdt)
+
+        tar_smpl = jnp.einsum("bvc,bcd->bvd",
+                              vertices - ctx_target.Th[:, None], ctx_target.R)
+        tab_t2c = jax.vmap(
+            lambda ct, cb: target2c_tables(smpl, ct, cb)
+        )(ctx_target, ctx_big)
+        eval_args = (ctx_target, ctx_big, tab_t2c, tar_smpl, planes, obs_img,
+                     obs_feat, vol_feats, vol_coords, min_dhw, ctx_obs,
+                     t_vertices, t_bounds, obs_K, obs_R, obs_T, smpl, train)
+
+        # ---- coarse pass (renderer.py:299-371)
+        steps = jnp.linspace(0.0, 1.0, D)
+        depths = near[..., None] + (far - near)[..., None] * steps  # (B, N, D)
+        pts = (ray_o[:, :, None] + depths[..., None] * ray_d[:, :, None]
+               ).reshape(B, N * D, 3)
+        dirs = jnp.broadcast_to(ray_d[:, :, None], (B, N, D, 3)
+                                ).reshape(B, N * D, 3)
+        col_c, den_c = self._eval_points_full(pts, dirs, *eval_args)
+        col_c = col_c.reshape(B, N, D, 3)
+        den_c = den_c.reshape(B, N, D)
+
+        _, _, w = jax.vmap(
+            lambda c, s, t, rd: ray_march(c, s, t, rd,
+                                          clamp_mode=rc.clamp_mode,
+                                          white_back=rc.white_back)
+        )(col_c, den_c, depths, ray_d)
+
+        # ---- importance depths (no gradient through the PDF, matching the
+        # reference's no_grad block); deterministic stratified u at eval,
+        # random u during training (reference sample_pdf det=False default)
+        rng = (self.make_rng("density")
+               if train and self.has_rng("density") else None)
+        z_fine = sample_importance(
+            depths.reshape(B * N, D),
+            jax.lax.stop_gradient(w).reshape(B * N, D),
+            Di, det=rng is None, rng=rng).reshape(B, N, Di)
+        z_fine = jax.lax.stop_gradient(z_fine)
+
+        # ---- fine pass
+        pts_f = (ray_o[:, :, None] + z_fine[..., None] * ray_d[:, :, None]
+                 ).reshape(B, N * Di, 3)
+        dirs_f = jnp.broadcast_to(ray_d[:, :, None], (B, N, Di, 3)
+                                  ).reshape(B, N * Di, 3)
+        col_f, den_f = self._eval_points_full(pts_f, dirs_f, *eval_args)
+        col_f = col_f.reshape(B, N, Di, 3)
+        den_f = den_f.reshape(B, N, Di)
+
+        # ---- unify_samples (renderer.py:443-456): concat + sort by depth
+        all_d = jnp.concatenate([depths, z_fine], axis=-1)
+        order = jnp.argsort(all_d, axis=-1)
+        all_d = jnp.take_along_axis(all_d, order, axis=-1)
+        all_c = jnp.take_along_axis(
+            jnp.concatenate([col_c, col_f], axis=2), order[..., None], axis=2)
+        all_s = jnp.take_along_axis(
+            jnp.concatenate([den_c, den_f], axis=2), order, axis=2)
+
+        rgb, depth, weights = jax.vmap(
+            lambda c, s, t, rd: ray_march(c, s, t, rd,
+                                          clamp_mode=rc.clamp_mode,
+                                          white_back=rc.white_back)
+        )(all_c, all_s, all_d, ray_d)
         return rgb, depth, jnp.sum(weights, axis=-1)
 
     # ------------------------------------------------------------------

@@ -15,6 +15,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from flax import struct
 
 from sherf_tpu.features.discriminator import DualDiscriminator
 
@@ -81,3 +82,131 @@ def create_d_state(d_model: DualDiscriminator, example_image, example_raw,
                      optax.scale_by_adam(b1=betas[0], b2=betas[1]),
                      optax.scale(-lr))
     return params, tx, tx.init(params)
+
+
+# ---------------------------------------------------------------------------
+# full adversarial training phases (reference training_loop.py:243-256:
+# Gmain + Dmain every step, lazy Dreg (R1) every D_reg_interval steps with
+# gain = interval and mb_ratio-adjusted D optimizer hyperparameters)
+
+
+class DTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    opt_state: tuple
+    tx: optax.GradientTransformation = struct.field(pytree_node=False,
+                                                    default=None)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def create_d_train_state(d_model: DualDiscriminator, example_image,
+                         example_raw, tcfg,
+                         rng: Optional[jax.Array] = None) -> DTrainState:
+    """Lazy-regularization optimizer: lr and betas scaled by
+    mb_ratio = interval / (interval + 1) (training_loop.py:249-252)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    params = d_model.init(rng, example_image, example_raw)["params"]
+    mb_ratio = tcfg.d_reg_interval / (tcfg.d_reg_interval + 1)
+    tx = optax.chain(
+        optax.zero_nans(),
+        optax.scale_by_adam(b1=tcfg.betas[0] ** mb_ratio,
+                            b2=tcfg.betas[1] ** mb_ratio, eps=tcfg.eps),
+        optax.scale(-tcfg.d_lr * mb_ratio))
+    return DTrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), tx=tx)
+
+
+def make_gan_train_step(model, smpl, d_model: DualDiscriminator, tcfg,
+                        lpips_fn: Optional[Callable] = None,
+                        donate: bool = False):
+    """Adversarial phase steps over (SHERFTrainState, DTrainState).
+
+    Returns (g_step, d_main_step, d_reg_step):
+      g_step(g_state, d_state, batch, rng) -> (g_state, metrics)
+        Gmain: reconstruction loss + adv_weight * softplus(-D(fake))
+        (loss.py:150-165 with the GAN term enabled) + EMA update.
+      d_main_step(d_state, g_state, batch, rng) -> (d_state, metrics)
+        Dmain: softplus(D(fake)) + softplus(-D(real)); G re-rendered under
+        stop_gradient (the reference re-runs G in the D phase, loss.py:296).
+      d_reg_step(d_state, batch) -> (d_state, metrics)
+        Dreg: lazy R1 on real images only, loss scaled by gain =
+        d_reg_interval (training_loop.py:365).  The caller runs it every
+        d_reg_interval steps (python-side cadence, like the phase list).
+
+    D inputs are in [-1, 1]: generator 'image'/'image_raw' already are;
+    real images are batch.img * 2 - 1 (loss.py:311-312).  Without the SR
+    module image == image_raw, so the raw input is the same tensor.
+    """
+    from sherf_tpu.train.loss import reconstruction_loss
+    from sherf_tpu.train.train_state import ema_beta, ema_update
+
+    beta = ema_beta(tcfg.batch_size, tcfg.ema_kimg)
+    g_adv_term, d_term = make_gan_losses(d_model)
+
+    def run_g(g_params, extra_vars, batch, rng):
+        return model.apply(
+            {"params": g_params, **extra_vars}, batch, smpl, train=True,
+            noise_mode="none",
+            rngs={"density": rng, "noise": jax.random.fold_in(rng, 1)})
+
+    def real_pair(batch):
+        B, H, W = batch.img.shape[:3]
+        real = batch.img * 2.0 - 1.0
+        return real, real
+
+    def g_loss_fn(g_params, extra_vars, d_params, batch, rng):
+        out = run_g(g_params, extra_vars, batch, rng)
+        loss, metrics = reconstruction_loss(out, batch, tcfg,
+                                            lpips_fn=lpips_fn)
+        adv = g_adv_term(d_params, out)
+        total = loss + tcfg.adv_weight * adv
+        metrics["g_adv"] = adv
+        metrics["loss"] = total
+        return total, metrics
+
+    def g_step(g_state, d_state, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_state.params, g_state.extra_vars, d_state.params, batch, rng)
+        g_state = g_state.apply_gradients(grads)
+        g_state = g_state.replace(
+            ema_params=ema_update(g_state.ema_params, g_state.params, beta))
+        return g_state, metrics
+
+    def d_main_step(d_state, g_state, batch, rng):
+        gen_out = jax.tree.map(
+            jax.lax.stop_gradient,
+            run_g(g_state.params, g_state.extra_vars, batch, rng))
+        real, real_raw = real_pair(batch)
+
+        def loss_fn(d_params):
+            return d_term(d_params, gen_out, real, real_raw,
+                          r1_gamma=tcfg.r1_gamma, do_r1=False)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            d_state.params)
+        return d_state.apply_gradients(grads), metrics
+
+    def d_reg_step(d_state, batch):
+        real, real_raw = real_pair(batch)
+        gain = float(tcfg.d_reg_interval)
+
+        def loss_fn(d_params):
+            def d_apply(p, image, image_raw):
+                return d_model.apply({"params": p}, image, image_raw)
+
+            r1 = r1_penalty(d_apply, d_params, real, real_raw)
+            return r1 * (tcfg.r1_gamma / 2.0) * gain, {"r1_penalty": r1}
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            d_state.params)
+        return d_state.apply_gradients(grads), metrics
+
+    donate_g = (0,) if donate else ()
+    return (jax.jit(g_step, donate_argnums=donate_g),
+            jax.jit(d_main_step, donate_argnums=(0,) if donate else ()),
+            jax.jit(d_reg_step, donate_argnums=(0,) if donate else ()))

@@ -45,6 +45,22 @@ def build_dataset(dcfg: DataConfig, smpl: SMPLModel):
                fix_obs_view=dcfg.fix_obs_view)
 
 
+def _save_sample_grid(model, smpl, state, batch, path: str):
+    """Per-tick sample render (reference save_image_grid,
+    training_loop.py:104,563-579): [pred | gt | obs] rows per batch item,
+    rendered with the EMA params."""
+    import imageio.v2 as imageio
+
+    out = jax.jit(lambda v, b: model.apply(v, b, smpl))(
+        {"params": state.ema_params, **state.extra_vars}, batch)
+    pred = np.asarray(out["image_raw"]) / 2.0 + 0.5
+    gt = np.asarray(batch.img)
+    obs = np.asarray(batch.obs_img)
+    rows = [np.concatenate([p, g, o], axis=1) for p, g, o in zip(pred, gt, obs)]
+    grid = np.concatenate(rows, axis=0)
+    imageio.imwrite(path, (np.clip(grid, 0, 1) * 255).astype(np.uint8))
+
+
 def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
                   smpl: SMPLModel, batch_source: Optional[Callable] = None,
                   progress_fn: Optional[Callable] = None,
@@ -62,9 +78,6 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
         json.dump({"model": cfg.to_json(), "train": str(tcfg), "data": str(dcfg)},
                   f, indent=2)
 
-    mesh = make_mesh(tcfg.mesh_shape if np.prod(tcfg.mesh_shape) ==
-                     len(jax.devices()) else None)
-
     # canonical volume geometry is static per dataset
     from sherf_tpu.smpl.lbs import big_pose_params, smpl_forward
     import jax.numpy as jnp
@@ -75,15 +88,37 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
     _, out_sh = prepare_voxel_volume(t_verts, voxel_size=cfg.voxel_size)
     model = SHERFGenerator(cfg, out_sh=out_sh)
 
-    # data
+    # data — per-host shard of the global batch (SURVEY §2.4: one JAX
+    # process per host; InfiniteSampler rank-shards like misc.py:113-147)
+    n_proc, proc = jax.process_count(), jax.process_index()
+    assert tcfg.batch_size % n_proc == 0, \
+        f"global batch {tcfg.batch_size} must divide over {n_proc} hosts"
+    per_host_batch = tcfg.batch_size // n_proc
     if batch_source is None:
         dataset = build_dataset(dcfg, smpl)
-        loader = PrefetchLoader(dataset, tcfg.batch_size, collate,
-                                InfiniteSampler(len(dataset), seed=tcfg.seed),
+        loader = PrefetchLoader(dataset, per_host_batch, collate,
+                                InfiniteSampler(len(dataset), rank=proc,
+                                                num_replicas=n_proc,
+                                                seed=tcfg.seed),
                                 num_workers=dcfg.num_workers)
         batch_source = lambda: next(loader)
 
     example = batch_source()
+
+    # device mesh: the explicit shard_map step needs the data/ray axes to
+    # divide the batch/ray dims, so auto-fit unless the configured shape
+    # already does
+    n_rays = example.ray_o.shape[1]
+    dm, rm = tcfg.mesh_shape
+    if (dm * rm <= len(jax.devices()) and tcfg.batch_size % dm == 0
+            and n_rays % rm == 0 and dm * rm > 1):
+        mesh = make_mesh((dm, rm))
+    else:
+        from sherf_tpu.parallel.mesh import auto_mesh
+
+        mesh = auto_mesh(tcfg.batch_size, n_rays)
+    print(f"mesh: {dict(zip(('data', 'rays'), mesh.devices.shape))} over "
+          f"{mesh.devices.size}/{len(jax.devices())} devices")
 
     # model / state
     variables = jax.jit(lambda b: model.init(
@@ -94,7 +129,12 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
     if tcfg.resume:
         state = restore_checkpoint(tcfg.resume, state)
         print(f"resumed from {tcfg.resume} at step {int(state.step)}")
-    state = replicate(state, mesh)
+    if n_proc > 1:
+        from sherf_tpu.parallel.multihost import replicate_from_host0
+
+        state = replicate_from_host0(state, mesh)
+    else:
+        state = replicate(state, mesh)
 
     lp = lpips_params()
     lpips_fn = None
@@ -102,7 +142,40 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
         lpips_model = LPIPS()
         lpips_fn = lambda a, b: lpips_model.apply({"params": lp}, a, b)
 
-    step_fn = make_train_step(model, smpl, tcfg, lpips_fn=lpips_fn)
+    # adversarial phases (reference training_loop.py:243-256), enabled by
+    # adv_weight > 0: construct D + Dmain/Dreg steps.  The GAN steps run
+    # under plain jit (GSPMD) — adversarial training is off in all shipped
+    # SHERF configs, so it doesn't get the shard_map fast path.
+    gan = tcfg.adv_weight > 0
+    d_state = d_main_step = d_reg_step = None
+    if gan:
+        from sherf_tpu.features.discriminator import DualDiscriminator
+        from sherf_tpu.train.gan import (create_d_train_state,
+                                         make_gan_train_step)
+
+        d_model = DualDiscriminator(img_resolution=example.img.shape[1])
+        real = example.img * 2.0 - 1.0
+        d_state = create_d_train_state(
+            d_model, real, real, tcfg,
+            rng=jax.random.PRNGKey(tcfg.seed + 1))
+        d_state = replicate(d_state, mesh)
+        step_fn, d_main_step, d_reg_step = make_gan_train_step(
+            model, smpl, d_model, tcfg, lpips_fn=lpips_fn)
+
+    # single device: plain jit.  Multi-device: explicit-SPMD shard_map step
+    # (each device computes only its local batch/ray shard — see
+    # make_sharded_train_step on why GSPMD alone mishandles the renderer's
+    # per-item gathers).
+    multi = int(np.prod(mesh.devices.shape)) > 1 and not gan
+    if gan:
+        pass  # step_fn set above
+    elif multi:
+        from sherf_tpu.train.step import make_sharded_train_step
+
+        step_fn = make_sharded_train_step(model, smpl, tcfg, mesh,
+                                          lpips_fn=lpips_fn)
+    else:
+        step_fn = make_train_step(model, smpl, tcfg, lpips_fn=lpips_fn)
     stats = StatsCollector(run_dir)
 
     total_steps = tcfg.total_kimg * 1000 // tcfg.batch_size
@@ -118,10 +191,29 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
         if profile_steps is not None and step == profile_steps[0]:
             jax.profiler.start_trace(os.path.join(run_dir, "trace"))
         t0 = time.time()
-        batch = shard_batch(batch_source(), mesh)
+        if n_proc > 1:
+            from sherf_tpu.parallel.mesh import batch_pspecs, interleave_rays
+            from sherf_tpu.parallel.multihost import host_local_batch_to_global
+
+            b = batch_source()
+            if multi:
+                b = interleave_rays(b, mesh.shape["rays"])
+            batch = host_local_batch_to_global(b, mesh, batch_pspecs(b))
+        else:
+            batch = shard_batch(batch_source(), mesh, interleave=multi)
         t1 = time.time()
         rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, sub)
+        if gan:
+            state, metrics = step_fn(state, d_state, batch, sub)
+            d_state, d_metrics = d_main_step(d_state, state, batch,
+                                             jax.random.fold_in(sub, 2))
+            metrics = {**metrics, **d_metrics}
+            # lazy R1 (training_loop.py:143,365): every d_reg_interval steps
+            if step % tcfg.d_reg_interval == 0:
+                d_state, r_metrics = d_reg_step(d_state, batch)
+                metrics = {**metrics, **r_metrics}
+        else:
+            state, metrics = step_fn(state, batch, sub)
         # dispatch is async; the data-fetch share of the wall clock is still
         # the scheduling-relevant signal (reference Timing/data_fetch)
         stats.report(metrics, prefix="Loss/")
@@ -134,6 +226,10 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
             print(f"profiler trace -> {os.path.join(run_dir, 'trace')}")
 
         if (step + 1) % report_every == 0:
+            # sync so sec/kimg measures device time over the interval, not
+            # async dispatch (r1 weak item: dispatch-vs-device conflation);
+            # one block per interval keeps back-to-back steps pipelined
+            jax.block_until_ready(metrics["loss"])
             stats.report_resources()
             means = stats.flush(step + 1)
             imgs = (step + 1) * tcfg.batch_size
@@ -148,8 +244,23 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
             aborted = abort_fn is not None and bool(abort_fn())
 
         if (step + 1) % snapshot_every == 0 or step + 1 == total_steps or aborted:
-            path = save_checkpoint(os.path.join(run_dir, "checkpoints"), state)
-            print(f"snapshot -> {path}")
+            # multi-host: state is fully replicated, so host 0 snapshots a
+            # host-local copy (the reference's rank-0 pickling,
+            # training_loop.py:563-579)
+            snap = state if n_proc == 1 else jax.tree.map(np.asarray, state)
+            if proc == 0:
+                path = save_checkpoint(os.path.join(run_dir, "checkpoints"),
+                                       snap)
+                print(f"snapshot -> {path}")
+            # rendered-sample grid per tick (reference training_loop.py:563-579
+            # save_image_grid): eyeball a diverging run without an eval job
+            if proc == 0 and n_proc == 1:
+                try:
+                    _save_sample_grid(model, smpl, state, batch_source(),
+                                      os.path.join(run_dir,
+                                                   f"fakes{step + 1:06d}.png"))
+                except Exception as e:  # noqa: BLE001 — snapshots must not kill training
+                    print(f"sample-grid render failed: {e}")
         if aborted:
             print("abort_fn requested stop; exiting training loop")
             break

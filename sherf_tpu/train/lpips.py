@@ -67,18 +67,9 @@ class LPIPS(nn.Module):
         return total  # (B,)
 
 
-def import_lpips_torch(lpips_module=None) -> Optional[Dict]:
-    """Convert the torch ``lpips`` package's VGG LPIPS to our param tree.
-    Returns None when torch/lpips (or its weights) are unavailable."""
-    try:
-        if lpips_module is None:
-            import lpips as lpips_module  # type: ignore
-        import torch  # noqa: F401
-        net = lpips_module.LPIPS(net="vgg")
-    except Exception:
-        return None
-
-    sd = {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+def import_lpips_state_dict(sd: Dict) -> Dict:
+    """torch lpips.LPIPS(net='vgg') state_dict (numpy values, full model
+    incl. the VGG backbone under net.sliceN.*) -> our param tree."""
     params: Dict = {"vgg": {}}
     # torchvision vgg16.features indices of the conv layers
     tv_conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
@@ -91,6 +82,39 @@ def import_lpips_torch(lpips_module=None) -> Optional[Dict]:
         w = sd[f"lins.{i}.model.1.weight"]  # (1, C, 1, 1)
         params[f"lin{i}"] = jnp.asarray(w[0, :, 0, 0])
     return params
+
+
+def import_lpips_torch(lpips_module=None) -> Optional[Dict]:
+    """Convert the torch ``lpips`` package's VGG LPIPS to our param tree.
+    Returns None when torch/lpips (or its weights) are unavailable."""
+    try:
+        if lpips_module is None:
+            import lpips as lpips_module  # type: ignore
+        import torch  # noqa: F401
+        net = lpips_module.LPIPS(net="vgg")
+    except Exception:
+        return None
+
+    sd = {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+    return import_lpips_state_dict(sd)
+
+
+def load_lpips_file(path: Optional[str] = None) -> Optional[Dict]:
+    """Load a saved torch state_dict of lpips.LPIPS(net='vgg') — the
+    no-egress path: dump it once on a machine with the lpips package
+    (``torch.save(lpips.LPIPS(net='vgg').state_dict(), f)``) and point
+    ``SHERF_LPIPS_WEIGHTS`` here."""
+    import os
+
+    path = path or os.environ.get("SHERF_LPIPS_WEIGHTS", "")
+    if not path or not os.path.exists(path):
+        return None
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    return import_lpips_state_dict(sd)
 
 
 def _tv_key(sd, idx, kind):
@@ -110,7 +134,7 @@ def lpips_params() -> Optional[Dict]:
     global _LPIPS_PARAMS, _TRIED
     if not _TRIED:
         _TRIED = True
-        _LPIPS_PARAMS = import_lpips_torch()
+        _LPIPS_PARAMS = load_lpips_file() or import_lpips_torch()
     return _LPIPS_PARAMS
 
 

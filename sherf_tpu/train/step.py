@@ -28,12 +28,17 @@ def make_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
     beta = ema_beta(tcfg.batch_size, tcfg.ema_kimg)
 
     def loss_fn(params, extra_vars, batch: SHERFBatch, rng):
+        from sherf_tpu.core.diag import overflow_total
+
         variables = {"params": params, **extra_vars}
-        out = model.apply(
+        out, mvars = model.apply(
             variables, batch, smpl, train=True,
             noise_mode="none",  # run_G uses noise_mode='none' (loss.py:82)
-            rngs={"density": rng, "noise": jax.random.fold_in(rng, 1)})
+            rngs={"density": rng, "noise": jax.random.fold_in(rng, 1)},
+            mutable=["diag"])
         loss, metrics = reconstruction_loss(out, batch, tcfg, lpips_fn=lpips_fn)
+        # budget-truncation watchdog: nonzero => corrupted samples this step
+        metrics["overflow"] = overflow_total(mvars.get("diag", {}))
         return loss, metrics
 
     def train_step(state: SHERFTrainState, batch: SHERFBatch, rng):
@@ -51,3 +56,93 @@ def make_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
 def optax_global_norm(tree):
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_sharded_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
+                            mesh, lpips_fn: Optional[Callable] = None,
+                            donate: bool = True) -> Callable:
+    """Explicit-SPMD train step: shard_map over the (data, rays) mesh.
+
+    GSPMD cannot prove that the renderer's per-batch-item gathers (feature
+    banks, sparse-volume readouts — deliberately python-looped over B, see
+    nerf/renderer.py setup notes) stay within the local batch shard, so it
+    either replicates their compute or inserts per-item collective-permutes
+    (measured: 118 permutes for one step at mesh 4x2,
+    tools/inspect_sharded_hlo.py).  Under shard_map every device executes
+    the model on its LOCAL (B/dm, N/rm) shard only — the loops run over the
+    local batch, zero collectives inside the model — and the only
+    cross-device traffic is the ray all_gather for the image-space loss and
+    one gradient psum/pmean, exactly the DP story of the reference's manual
+    all_reduce (training_loop.py:374-384) plus our ray axis.
+
+    Expects the batch pre-sharded by ``shard_batch(batch, mesh,
+    interleave=True)``: ray fields round-robin across 'rays' so per-shard
+    static point budgets stay balanced.  Batch/ray dims must divide the
+    mesh axes.  Gradients/metrics are bitwise identical across devices on
+    exit (psum'd), numerically ≈ the single-device step (reduction order
+    differs).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from sherf_tpu.parallel.mesh import batch_pspecs, uninterleave_rays
+
+    beta = ema_beta(tcfg.batch_size, tcfg.ema_kimg)
+    rm = mesh.shape["rays"]
+
+    def local_loss(params, extra_vars, batch: SHERFBatch, rng):
+        from sherf_tpu.core.diag import overflow_total
+
+        variables = {"params": params, **extra_vars}
+        out, mvars = model.apply(
+            variables, batch, smpl, train=True, noise_mode="none",
+            flat_output=True,
+            rngs={"density": rng, "noise": jax.random.fold_in(rng, 1)},
+            mutable=["diag"])
+
+        def gather(x):  # (B_loc, N_loc, ...) -> (B_loc, N, ...) in ray order
+            full = jax.lax.all_gather(x, "rays", axis=1, tiled=True)
+            return uninterleave_rays(full, rm)
+
+        B = batch.img.shape[0]
+        H, W = batch.img.shape[1:3]
+        out_img = {
+            "image_raw": gather(out["image_raw"]).reshape(B, H, W, 3),
+            "weights_image": gather(out["weights_image"]).reshape(B, H, W),
+        }
+        batch_full = batch.replace(mask_at_box=gather(batch.mask_at_box),
+                                   bkgd_msk=gather(batch.bkgd_msk))
+        loss, metrics = reconstruction_loss(out_img, batch_full, tcfg,
+                                            lpips_fn=lpips_fn)
+        metrics["overflow"] = overflow_total(mvars.get("diag", {}))
+        return loss, metrics
+
+    def local_grads(params, extra_vars, batch, rng):
+        # decorrelate per-shard sample noise
+        rng = jax.random.fold_in(
+            rng, jax.lax.axis_index("data") * 4096 + jax.lax.axis_index("rays"))
+        (loss, metrics), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, extra_vars, batch, rng)
+        # each ray lives on exactly one 'rays' member -> sum; data shards
+        # each hold a mean over B/dm images -> mean
+        grads = jax.lax.pmean(jax.lax.psum(grads, "rays"), "data")
+        # overflow is a worst-case watchdog: take the max across all shards
+        overflow = jax.lax.pmax(metrics.pop("overflow"), ("data", "rays"))
+        metrics = jax.lax.pmean(metrics, "data")
+        metrics["overflow"] = overflow
+        return metrics, grads
+
+    def train_step(state: SHERFTrainState, batch: SHERFBatch, rng):
+        specs = batch_pspecs(batch)
+        metrics, grads = jax.shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(P(), P(), specs, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(state.params, state.extra_vars, batch, rng)
+        state = state.apply_gradients(grads)
+        state = state.replace(ema_params=ema_update(state.ema_params,
+                                                    state.params, beta))
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -121,7 +121,7 @@ def test_sparse_site_counts_match_live_downsample():
     shape = out_sh
     for i in range(3):
         cap = counts[i] + 64  # roomy: survivor count must be exact
-        nc, nv, shape = downsample_sites(grid, shape, cap)
+        nc, nv, shape, _ = downsample_sites(grid, shape, cap)
         assert int(jax.device_get(nv.sum())) == counts[i], f"scale {i}"
         grid = build_index_grid(nc, nv, shape)
 

@@ -26,3 +26,133 @@ def test_entry_compiles_single_chip():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 1 and out.shape[-1] == 3
     assert bool(jnp.isfinite(out).all())
+
+
+def _setup_small(batch_size, H, W, D=4):
+    return __graft_entry__._setup(H=H, W=W, D=D, batch_size=batch_size,
+                                  voxel_size=0.05, backbone_resolution=32,
+                                  sparse_caps=(1024, 512, 256))
+
+
+def test_sharded_render_matches_single_device():
+    """shard_map render over (2 data x 4 rays) == plain single-device apply.
+
+    Pixels depend only on their own ray's samples and per-item tables, so
+    the sharded result must match to f32 roundoff."""
+    from sherf_tpu.parallel import make_mesh, make_sharded_render, \
+        replicate, shard_batch
+
+    smpl, cfg, model, batch = _setup_small(batch_size=2, H=8, W=8)
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, smpl))(batch)
+
+    ref = jax.jit(lambda v, b: model.apply(v, b, smpl))(variables, batch)
+
+    mesh = make_mesh((2, 4))
+    vars_r = replicate(variables, mesh)
+    sharded = shard_batch(batch, mesh, interleave=True)
+    out = make_sharded_render(model, smpl, mesh)(vars_r, sharded)
+
+    np.testing.assert_allclose(np.asarray(out["image_raw"]),
+                               np.asarray(ref["image_raw"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["weights_image"]),
+                               np.asarray(ref["weights_image"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device():
+    """One shard_map train step over (1 data x 4 rays) vs the plain jit step:
+    same loss and allclose updated params (only reduction order differs —
+    the full batch lives on every 'rays' member, so loss semantics are
+    identical)."""
+    from sherf_tpu.core.config import TrainConfig
+    from sherf_tpu.parallel import make_mesh, replicate, shard_batch
+    from sherf_tpu.train import create_train_state, make_train_step
+    from sherf_tpu.train.step import make_sharded_train_step
+
+    smpl, cfg, model, batch = _setup_small(batch_size=2, H=4, W=8)
+    tcfg = TrainConfig(batch_size=2, lr=1e-3)
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, smpl))(batch)
+    params = dict(variables)["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    rng = jax.random.PRNGKey(7)
+
+    state0 = create_train_state(params, extra, tcfg)
+    ref_state, ref_metrics = make_train_step(model, smpl, tcfg, donate=False)(
+        state0, batch, rng)
+
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    state1 = replicate(create_train_state(params, extra, tcfg), mesh)
+    sharded = shard_batch(batch, mesh, interleave=True)
+    new_state, metrics = make_sharded_train_step(
+        model, smpl, tcfg, mesh, donate=False)(state1, sharded, rng)
+
+    assert np.allclose(float(metrics["loss"]), float(ref_metrics["loss"]),
+                       rtol=1e-4), (metrics["loss"], ref_metrics["loss"])
+    ref_leaves = jax.tree.leaves(ref_state.params)
+    new_leaves = jax.tree.leaves(new_state.params)
+    for a, b in zip(ref_leaves, new_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_sharded_train_step_data_axis_is_ddp_mean():
+    """With the batch split over 'data', the sharded loss is the MEAN of the
+    per-shard losses — the reference's per-GPU loss + grad-all_reduce/÷N
+    semantics (training_loop.py:374-384), not the joint whole-batch ratio."""
+    from sherf_tpu.core.config import TrainConfig
+    from sherf_tpu.parallel import make_mesh, replicate, shard_batch
+    from sherf_tpu.train import create_train_state, make_train_step
+    from sherf_tpu.train.step import make_sharded_train_step
+
+    smpl, cfg, model, batch = _setup_small(batch_size=2, H=4, W=8)
+    tcfg = TrainConfig(batch_size=2, lr=1e-3)
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, smpl))(batch)
+    params = dict(variables)["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    rng = jax.random.PRNGKey(7)
+
+    plain = make_train_step(model, smpl, tcfg, donate=False)
+    per_item = []
+    for b in range(2):
+        item = jax.tree.map(lambda x: x[b:b + 1], batch)
+        _, m = plain(create_train_state(params, extra, tcfg), item, rng)
+        per_item.append(float(m["loss"]))
+
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    state = replicate(create_train_state(params, extra, tcfg), mesh)
+    sharded = shard_batch(batch, mesh, interleave=True)
+    _, metrics = make_sharded_train_step(
+        model, smpl, tcfg, mesh, donate=False)(state, sharded, rng)
+
+    expected = float(np.mean(per_item))
+    assert np.allclose(float(metrics["loss"]), expected, rtol=1e-4), (
+        float(metrics["loss"]), per_item)
+
+
+def test_sharded_train_step_hlo_has_no_renderer_collectives():
+    """The shard_map step's HLO must contain only the loss ray-gather and
+    the gradient reductions — none of the per-batch-item collective-permutes
+    GSPMD inserts for the renderer's python loops (118 at mesh 4x2,
+    tools/inspect_sharded_hlo.py)."""
+    import re
+
+    from sherf_tpu.core.config import TrainConfig
+    from sherf_tpu.parallel import make_mesh, replicate, shard_batch
+    from sherf_tpu.train import create_train_state
+    from sherf_tpu.train.step import make_sharded_train_step
+
+    smpl, cfg, model, batch = _setup_small(batch_size=2, H=4, W=8)
+    tcfg = TrainConfig(batch_size=2, lr=1e-3)
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, smpl))(batch)
+    params = dict(variables)["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    state = replicate(create_train_state(params, extra, tcfg), mesh)
+    sharded = shard_batch(batch, mesh, interleave=True)
+    step = make_sharded_train_step(model, smpl, tcfg, mesh, donate=False)
+    hlo = step.lower(state, sharded, jax.random.PRNGKey(0)).compile().as_text()
+
+    permutes = len(re.findall(r"collective-permute", hlo))
+    assert permutes == 0, f"{permutes} collective-permutes leaked into the step"

@@ -58,7 +58,7 @@ def test_stride_conv_matches_dense_strided_conv():
     w = rng.randn(3, 3, 3, 4, 7).astype(np.float32)
 
     grid = build_index_grid(jnp.asarray(coords), jnp.ones(60, bool), shape)
-    new_coords, new_valid, new_shape = downsample_sites(grid, shape, cap=256)
+    new_coords, new_valid, new_shape, _ = downsample_sites(grid, shape, cap=256)
     ours = np.asarray(stride_conv3d(jnp.asarray(feats), grid, shape,
                                     new_coords, jnp.asarray(w), new_valid,
                                     jnp.ones(60, bool)))
@@ -163,7 +163,7 @@ def test_stride_conv_grad_matches_scatter_adjoint():
     feats = jnp.asarray(rng.randn(60, 4).astype(np.float32))
     w = jnp.asarray(rng.randn(3, 3, 3, 4, 7).astype(np.float32))
     grid = build_index_grid(jnp.asarray(coords), valid_in, shape)
-    new_coords, new_valid, new_shape = downsample_sites(grid, shape, cap=256)
+    new_coords, new_valid, new_shape, _ = downsample_sites(grid, shape, cap=256)
     cot = jnp.asarray(rng.randn(256, 7).astype(np.float32))
     cot = cot * new_valid[:, None]
 
