@@ -145,26 +145,29 @@ def main(H=512, W=512, depth=48, iters=30, capacity_frac=None,
           f"({lat * 1e3:.1f} ms latency; {rays_per_sec / 1e6:.2f}M rays/s, "
           f"{rays_per_sec * depth / 1e9:.2f}G samples/s)", file=sys.stderr)
 
+    # Measured quantities lead; the estimate-derived multiplier is
+    # subordinate at the end (reference publishes no numbers — the 0.5 fps
+    # A100 denominator is the documented BASELINE.md estimate, not a
+    # measurement; rays/s, samples/s and MFU are the honest figures).
     result = {
         "metric": f"render_fps_{H}x{W}",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
-        # NOTE: the reference repo publishes no benchmark numbers and this
-        # environment cannot run its CUDA eval, so the denominator is the
-        # documented 0.5 fps A100 estimate from BASELINE.md — an estimate,
-        # not a measurement.  rays/s and MFU below are the honest
-        # hardware-relative figures.
-        "vs_baseline": round(fps / REFERENCE_FPS_BASELINE, 2),
-        "baseline_is_estimate": True,
-        "latency_ms": round(lat * 1e3, 2),
         "sustained_ms": round(dt * 1e3, 2),
+        "latency_ms": round(lat * 1e3, 2),
         "rays_per_sec": round(rays_per_sec),
+        # post-prune survivors through the decoder per second: the stable
+        # kernel-level denominator for perf work (worst-case calibrated
+        # survivor count x frame rate)
+        "samples_per_sec": round(worst["exact"] * fps),
         "overflow": overflow,
     }
     if flops_per_frame:
         # v5e peak: 197 TFLOP/s bf16 (one chip)
         result["mfu_est"] = round(flops_per_frame * fps / 197e12, 4)
         result["gflops_per_frame"] = round(flops_per_frame / 1e9, 1)
+    result["vs_baseline"] = round(fps / REFERENCE_FPS_BASELINE, 2)
+    result["baseline_is_estimate"] = True
     print(json.dumps(result))
 
 

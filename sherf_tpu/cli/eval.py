@@ -32,7 +32,7 @@ def main(argv=None):
     import jax
 
     from sherf_tpu.cli.common import build_model, model_config_from_args, resolve_smpl
-    from sherf_tpu.core.config import EVAL_DEFAULTS, TrainConfig
+    from sherf_tpu.core.config import EVAL_DEFAULTS, EVAL_SUBJECTS, TrainConfig
     from sherf_tpu.data import DATASETS
     from sherf_tpu.eval.test_loop import run_eval
     from sherf_tpu.train.checkpoint import restore_checkpoint
@@ -53,11 +53,10 @@ def main(argv=None):
             with open(os.path.join(humans_root, "human_list.txt")) as f:
                 subjects = [os.path.join(humans_root, x.strip())
                             for x in f.readlines()[lo:hi]]
-        elif a.cfg == "zju":
-            subjects = [os.path.join(humans_root, n)
-                        for n in ("CoreView_377", "CoreView_313", "CoreView_315")]
         else:
-            raise SystemExit("--subjects required for humman")
+            # hardcoded reference lists (test_loop.py:112-151): 22 HuMMan
+            # subjects, 3 ZJU CoreView subjects
+            subjects = [os.path.join(humans_root, n) for n in EVAL_SUBJECTS[a.cfg]]
 
     proto = EVAL_DEFAULTS[a.cfg]
     scaling = (1 / 3 if a.cfg == "humman"

@@ -222,6 +222,9 @@ def _sparse_down(sd, key, layout):
 def import_sherf_generator(sd: Mapping[str, np.ndarray],
                            use_nerf_decoder: bool = True,
                            use_trans: bool = True,
+                           use_1d_feature: bool = True,
+                           use_2d_feature: bool = True,
+                           use_3d_feature: bool = True,
                            sparse_layers: int = 4,
                            backbone_resolution: int = 256,
                            spconv_layout: str = "native"):
@@ -249,7 +252,11 @@ def import_sherf_generator(sd: Mapping[str, np.ndarray],
     r: Dict = {}
     rs: Dict = {}
     r["conv1d_projection"] = _linear(sd, "renderer.conv1d_projection")
-    r["conv1d_reprojection"] = _linear(sd, "renderer.conv1d_reprojection")
+    # conv1d_reprojection only exists with >=2 feature banks (96->32 for
+    # three, 64->32 for two; reference renderer.py:272-275)
+    n_banks = int(use_1d_feature) + int(use_2d_feature) + int(use_3d_feature)
+    if n_banks >= 2:
+        r["conv1d_reprojection"] = _linear(sd, "renderer.conv1d_reprojection")
 
     if use_trans:
         tr = {
@@ -283,20 +290,24 @@ def import_sherf_generator(sd: Mapping[str, np.ndarray],
         }
     r["decoder"] = dec
 
-    e3: Dict = {}
-    e3s: Dict = {}
-    e3["conv0"], e3s["conv0"] = _sparse_stage(sd, "renderer.encoder_3d.conv0", 2, spconv_layout)
-    e3["down0"], e3s["down0"] = _sparse_down(sd, "renderer.encoder_3d.down0", spconv_layout)
-    if sparse_layers > 1:
-        e3["conv1"], e3s["conv1"] = _sparse_stage(sd, "renderer.encoder_3d.conv1", 2, spconv_layout)
-        e3["down1"], e3s["down1"] = _sparse_down(sd, "renderer.encoder_3d.down1", spconv_layout)
-    if sparse_layers > 2:
-        e3["conv2"], e3s["conv2"] = _sparse_stage(sd, "renderer.encoder_3d.conv2", 3, spconv_layout)
-        e3["down2"], e3s["down2"] = _sparse_down(sd, "renderer.encoder_3d.down2", spconv_layout)
-    if sparse_layers > 3:
-        e3["conv3"], e3s["conv3"] = _sparse_stage(sd, "renderer.encoder_3d.conv3", 3, spconv_layout)
-    r["encoder_3d"] = e3
-    rs["encoder_3d"] = e3s
+    # the reference constructs encoder_3d unconditionally (renderer.py:270)
+    # but only the use_3d_feature path consumes it; import it only when our
+    # generator will instantiate the module
+    if use_3d_feature:
+        e3: Dict = {}
+        e3s: Dict = {}
+        e3["conv0"], e3s["conv0"] = _sparse_stage(sd, "renderer.encoder_3d.conv0", 2, spconv_layout)
+        e3["down0"], e3s["down0"] = _sparse_down(sd, "renderer.encoder_3d.down0", spconv_layout)
+        if sparse_layers > 1:
+            e3["conv1"], e3s["conv1"] = _sparse_stage(sd, "renderer.encoder_3d.conv1", 2, spconv_layout)
+            e3["down1"], e3s["down1"] = _sparse_down(sd, "renderer.encoder_3d.down1", spconv_layout)
+        if sparse_layers > 2:
+            e3["conv2"], e3s["conv2"] = _sparse_stage(sd, "renderer.encoder_3d.conv2", 3, spconv_layout)
+            e3["down2"], e3s["down2"] = _sparse_down(sd, "renderer.encoder_3d.down2", spconv_layout)
+        if sparse_layers > 3:
+            e3["conv3"], e3s["conv3"] = _sparse_stage(sd, "renderer.encoder_3d.conv3", 3, spconv_layout)
+        r["encoder_3d"] = e3
+        rs["encoder_3d"] = e3s
 
     params["renderer"] = r
     stats["renderer"] = rs

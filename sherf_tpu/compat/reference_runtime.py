@@ -440,6 +440,9 @@ def default_rendering_kwargs(depth_resolution: int = 48,
 def load_reference_generator(smpl_model, workdir: str,
                              use_nerf_decoder: bool = True,
                              use_trans: bool = True,
+                             use_1d_feature: bool = True,
+                             use_2d_feature: bool = True,
+                             use_3d_feature: bool = True,
                              rendering_kwargs: Optional[Dict] = None,
                              seed: int = 0,
                              backbone_resolution: int = 256):
@@ -498,7 +501,8 @@ def load_reference_generator(smpl_model, workdir: str,
         # (training_loop.py:192, train.py:280,312,427-428)
         G = triplane_mod.TriPlaneGenerator(
             z_dim=512, c_dim=0, w_dim=512,
-            use_1d_feature=True, use_2d_feature=True, use_3d_feature=True,
+            use_1d_feature=use_1d_feature, use_2d_feature=use_2d_feature,
+            use_3d_feature=use_3d_feature,
             use_trans=use_trans, use_NeRF_decoder=use_nerf_decoder,
             img_resolution=512, img_channels=3,
             mapping_kwargs={"num_layers": 2},

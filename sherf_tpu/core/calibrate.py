@@ -146,9 +146,12 @@ def calibrate_budgets(batches: Iterable, cfg, margin: float = 1.2,
     assert H_W is not None, "need at least one calibration batch"
     assert worst["span"] + 0.5 < GRID_SIZE * CELL, \
         f"body span {worst['span']:.2f}m too large for the occupancy grid"
-    assert worst["step_max"] <= rcfg.prune_step_margin, \
+    # the dilation margin only has to cover samples the stride SKIPS;
+    # at stride 1 every sample is tested against the dilated grid directly
+    assert rcfg.prune_stride == 1 or worst["step_max"] <= rcfg.prune_step_margin, \
         (f"depth step {worst['step_max']:.3f}m exceeds prune_step_margin "
-         f"{rcfg.prune_step_margin}; raise it or the depth resolution")
+         f"{rcfg.prune_step_margin}; raise it, the depth resolution, or use "
+         f"prune_stride=1")
 
     M = H_W * D
     caps = {k: min(_round_up(int(worst[k] * margin), round_to), total)

@@ -202,16 +202,37 @@ class EvalConfig:
     outdir: str = "eval_out"
 
 
-# Per-dataset eval defaults (reference training_loop.py:311-328).
+# Per-dataset eval defaults — the reference's exact launch values from the
+# four test(...) calls at training_loop.py:321-327 (verified by reading them):
+#   RenderPeople: obs [0,16,31], nv_pose_start=0, np_pose_start=2, interval=2, num=5
+#   THuman:       obs [4,12,20], nv_pose_start=0, np_pose_start=0, interval=2, num=5
+#   HuMMan:       obs [0,4,8],   nv_pose_start=0, np_pose_start=0, interval=6, num=17
+#   zju_mocap:    obs [4,10,16], nv_pose_start=0, np_pose_start=0, interval=20, num=25
 EVAL_DEFAULTS = {
     "renderpeople": dict(obs_views=(0, 16, 31), nv_pose_start=0, np_pose_start=2,
                          pose_interval=2, pose_num=5),
-    "thuman": dict(obs_views=(4, 12, 20), nv_pose_start=0, np_pose_start=10,
+    "thuman": dict(obs_views=(4, 12, 20), nv_pose_start=0, np_pose_start=0,
                    pose_interval=2, pose_num=5),
-    "humman": dict(obs_views=(0, 4, 8), nv_pose_start=0, np_pose_start=6,
-                   pose_interval=1, pose_num=6),
-    "zju": dict(obs_views=(4, 10, 16), nv_pose_start=0, np_pose_start=100,
-                pose_interval=5, pose_num=20),
+    "humman": dict(obs_views=(0, 4, 8), nv_pose_start=0, np_pose_start=0,
+                   pose_interval=6, pose_num=17),
+    "zju": dict(obs_views=(4, 10, 16), nv_pose_start=0, np_pose_start=0,
+                pose_interval=20, pose_num=25),
+}
+
+# The reference's hardcoded eval subject lists (test_loop.py:112-151).
+# RenderPeople/THuman use human_list.txt ranges instead (test_loop.py:102-111).
+EVAL_SUBJECTS = {
+    "humman": (
+        "p000455_a000986", "p000456_a000396", "p000465_a000048",
+        "p000465_a000701", "p000474_a000048", "p000477_a000396",
+        "p000482_a000793", "p000491_a005730", "p000503_a000064",
+        "p000503_a000224", "p000532_a005711", "p000538_a000978",
+        "p000538_a000986", "p000542_a000048", "p000545_a000064",
+        "p000547_a000011", "p000547_a000145", "p000557_a000793",
+        "p000582_a000048", "p100050_a001425", "p100056_a000049",
+        "p100074_a000048",
+    ),
+    "zju": ("CoreView_377", "CoreView_313", "CoreView_315"),
 }
 
 

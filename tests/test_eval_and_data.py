@@ -16,6 +16,43 @@ from sherf_tpu.eval.gan_metrics import (
 from sherf_tpu.smpl import synthetic_smpl, smpl_forward
 
 
+def test_eval_defaults_match_reference_launch_values():
+    """Pin EVAL_DEFAULTS to the reference's exact test(...) launch values
+    (reference training_loop.py:321-327) and the hardcoded eval subject
+    lists (test_loop.py:112-151)."""
+    from sherf_tpu.core.config import EVAL_DEFAULTS, EVAL_SUBJECTS
+
+    assert EVAL_DEFAULTS["renderpeople"] == dict(
+        obs_views=(0, 16, 31), nv_pose_start=0, np_pose_start=2,
+        pose_interval=2, pose_num=5)
+    assert EVAL_DEFAULTS["thuman"] == dict(
+        obs_views=(4, 12, 20), nv_pose_start=0, np_pose_start=0,
+        pose_interval=2, pose_num=5)
+    assert EVAL_DEFAULTS["humman"] == dict(
+        obs_views=(0, 4, 8), nv_pose_start=0, np_pose_start=0,
+        pose_interval=6, pose_num=17)
+    assert EVAL_DEFAULTS["zju"] == dict(
+        obs_views=(4, 10, 16), nv_pose_start=0, np_pose_start=0,
+        pose_interval=20, pose_num=25)
+
+    assert len(EVAL_SUBJECTS["humman"]) == 22
+    assert EVAL_SUBJECTS["humman"][0] == "p000455_a000986"
+    assert EVAL_SUBJECTS["humman"][-1] == "p100074_a000048"
+    assert EVAL_SUBJECTS["zju"] == (
+        "CoreView_377", "CoreView_313", "CoreView_315")
+
+
+def test_humman_eval_subjects_resolve_without_flag(tmp_path):
+    """cli/eval.py must not demand --subjects for humman (reference
+    hardcodes the 22-subject list)."""
+    import inspect
+    from sherf_tpu.cli import eval as eval_cli
+
+    src = inspect.getsource(eval_cli)
+    assert "--subjects required" not in src
+    assert "EVAL_SUBJECTS" in src
+
+
 def test_psnr_basic():
     rng = np.random.RandomState(0)
     gt = rng.rand(16, 16, 3).astype(np.float32)

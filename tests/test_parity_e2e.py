@@ -31,7 +31,8 @@ from sherf_tpu.smpl import big_pose_params, smpl_forward, synthetic_smpl
 
 BACKBONE_RES = 64      # reference hardcodes 256 (triplane.py:59); shrunk for
                        # CPU CI — the 256 path is pinned by test_stylegan2 and
-                       # exercised at full size by tools/parity_e2e.py
+                       # exercised at full size by tools/parity_e2e.py (see
+                       # PARITY.md "Full-size e2e" for the recorded numbers)
 H = W = 32
 DEPTH = 8
 
@@ -124,6 +125,59 @@ def test_depth_and_weights_parity(parity):
     if hit.any():
         assert np.allclose(ref_d[hit], our_d[hit], atol=5e-3), (
             np.abs(ref_d[hit] - our_d[hit]).max())
+
+
+@pytest.mark.parametrize("combo", ["osg_decoder", "no_trans", "1d_only",
+                                   "1d_2d", "1d_3d"])
+def test_ablation_branch_parity(combo, tmp_path):
+    """E2e parity for the NON-default fusion/decoder branches with shared
+    weights (reference run_model dispatch renderer.py:405-432; decoder
+    selection triplane.py:61-65).  Each combo builds its own reference
+    generator and imports its weights."""
+    from sherf_tpu.compat import parity_harness as ph
+
+    smpl = synthetic_smpl(0)
+    flags = ph.ABLATION_COMBOS[combo]
+    G = ph.build_reference(smpl, str(tmp_path), flags,
+                           backbone_resolution=BACKBONE_RES, depth=DEPTH)
+    batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
+    ref = ph.run_reference(G, batch, H)
+    model, variables, _ = ph.build_ours(G, smpl, flags,
+                                        backbone_resolution=BACKBONE_RES,
+                                        depth=DEPTH)
+    ours = ph.run_ours(model, variables, batch, smpl)
+    m = ph.compare(ref, ours, H, W)
+    assert m["ref_fg_frac"] > 0.01, f"vacuous render: {m}"
+    assert m["psnr_image_raw"] > 45.0, f"{combo}: {m}"
+    assert m["weights_max_diff"] < 2e-3, f"{combo}: {m}"
+
+
+def test_partial_transmittance_parity(tmp_path):
+    """Parity in the LOW-density regime (mild sigma bias): transmittance
+    stays partial along rays, exercising the marcher's cumprod blending
+    rather than the saturated first-hit regime of the main fixture
+    (VERDICT r2 weak #4)."""
+    from sherf_tpu.compat import parity_harness as ph
+
+    smpl = synthetic_smpl(0)
+    G = ph.build_reference(smpl, str(tmp_path), {},
+                           backbone_resolution=BACKBONE_RES, depth=DEPTH,
+                           decoder_bias="partial")
+    batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
+    ref = ph.run_reference(G, batch, H)
+
+    # genuinely partial: body pixels exist but alpha is not saturated
+    ref_w = ref["weights_image"].numpy()
+    assert ref_w.max() > 0.05, "no body visible — vacuous"
+    assert ref_w.max() < 0.98, "regime is saturated, not partial"
+
+    model, variables, _ = ph.build_ours(G, smpl, {},
+                                        backbone_resolution=BACKBONE_RES,
+                                        depth=DEPTH)
+    ours = ph.run_ours(model, variables, batch, smpl)
+    m = ph.compare(ref, ours, H, W)
+    assert m["psnr_image_raw"] > 45.0, m
+    assert m["weights_max_diff"] < 2e-3, m
 
 
 def test_mapping_parity(parity):
