@@ -28,6 +28,11 @@ def main(H=512, W=512, depth=48, iters=30, capacity_frac=None,
     import dataclasses
 
     import jax
+
+    # persistent compile cache: the tunneled compile relay costs ~30-40s per
+    # program, and the bench graphs are stable across runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sherf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from sherf_tpu.core.calibrate import calibrate_budgets
@@ -41,8 +46,14 @@ def main(H=512, W=512, depth=48, iters=30, capacity_frac=None,
 
     smpl = synthetic_smpl(0)
     bp = big_pose_params()
-    t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
-                                      jnp.asarray(bp["shapes"]))[0])
+    # jit the SMPL forward: unjitted, its ~200 small ops each pay a full
+    # tunnel round trip on the remote-dispatch axon platform (minutes of
+    # wall clock before the bench even starts); one cached compile instead
+    t0 = time.perf_counter()
+    t_verts = np.asarray(jax.jit(
+        lambda p, s: smpl_forward(smpl, p, s)[0]
+    )(jnp.asarray(bp["poses"]), jnp.asarray(bp["shapes"])))
+    print(f"smpl prep: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     from sherf_tpu.core.calibrate import calibrate_sparse_caps, \
         measure_sparse_sites
 

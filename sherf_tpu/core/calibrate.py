@@ -92,6 +92,7 @@ def measure_budgets(batch, cfg) -> dict:
     "span": ..} (ints / floats, host-side).
     """
     from sherf_tpu.kernels.knn import nn_1
+    from sherf_tpu.kernels.knn_pallas import ray_body_mask_pallas
     from sherf_tpu.kernels.occupancy import strided_occupancy
 
     rcfg = cfg.render
@@ -112,7 +113,14 @@ def measure_budgets(batch, cfg) -> dict:
         # bench validation; the margin covers the estimator error
         d2 = jax.jit(lambda q, v: nn_1(q, v)[0])(pts[::8], batch.vertices[b])
         exact_n = int((d2 < rcfg.prune_threshold_sq).sum()) * 8
-        hit = int(np.asarray(batch.mask_at_box[b]).astype(bool).sum())
+        # ray budget mirrors the renderer's combined mask: AABB hit AND the
+        # segment-level body-proximity test (renderer ray compaction)
+        seg = jax.jit(lambda o, d, nr, fr, v: ray_body_mask_pallas(
+            o, d, nr, fr, v, rcfg.prune_threshold_sq))(
+            batch.ray_o[b], batch.ray_d[b], batch.near[b], batch.far[b],
+            batch.vertices[b])
+        hit = int((np.asarray(batch.mask_at_box[b]).astype(bool)
+                   & np.asarray(seg)).sum())
         out["rays"] = max(out["rays"], hit)
         out["voxel"] = max(out["voxel"], occ_n)
         out["exact"] = max(out["exact"], exact_n)

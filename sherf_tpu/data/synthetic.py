@@ -53,13 +53,27 @@ def _splat_image(H, W, K, R, T, verts, rng):
     return img
 
 
+import functools
+
+
+@functools.cache
+def _jitted_smpl_verts():
+    # jitted + cached: unjitted smpl_forward is ~200 op dispatches, each a
+    # full round trip on the remote-dispatch axon platform (~minutes of
+    # prep per bench/tool run); SMPLModel is a pytree so it can be traced
+    import jax
+
+    return jax.jit(lambda m, p, s: smpl_forward(m, p, s)[0])
+
+
 def make_synthetic_batch(smpl: SMPLModel, batch_size: int = 1, H: int = 32,
                          W: int = 32, seed: int = 0,
                          pose_scale: float = 0.25) -> SHERFBatch:
     rng = np.random.RandomState(seed)
     bp = big_pose_params()
-    t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
-                                      jnp.asarray(bp["shapes"]))[0])
+    fwd = _jitted_smpl_verts()
+    t_verts = np.asarray(fwd(smpl, jnp.asarray(bp["poses"]),
+                             jnp.asarray(bp["shapes"])))
     t_min = t_verts.min(0) - 0.05
     t_max = t_verts.max(0) + 0.05
     t_min[2] -= 0.1
@@ -74,7 +88,7 @@ def make_synthetic_batch(smpl: SMPLModel, batch_size: int = 1, H: int = 32,
         R_g = np.eye(3, dtype=np.float32)
         Th = rng.randn(3).astype(np.float32) * 0.05
 
-        v_smpl = np.asarray(smpl_forward(smpl, jnp.asarray(pose), jnp.asarray(shape))[0])
+        v_smpl = np.asarray(fwd(smpl, jnp.asarray(pose), jnp.asarray(shape)))
         verts = v_smpl @ np.linalg.inv(R_g) + Th  # world verts (dataset convention)
 
         wb = np.stack([verts.min(0) - 0.05, verts.max(0) + 0.05])

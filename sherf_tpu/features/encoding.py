@@ -33,13 +33,14 @@ def positional_encoding(x: jnp.ndarray, num_freqs: int,
             parts.append(jnp.cos(x * f))
         return jnp.concatenate(parts, axis=-1)
 
-    # compute on a (1, prod) flattening: the natural (..., 3) layout leaves
+    # compute on a fully-flat 1-D view: the natural (..., 3) layout leaves
     # 125 of 128 lanes idle for every op in the recurrence (the trailing
-    # dim maps to lanes); one transpose at the end restores the reference
-    # channel order [x, sin f0, cos f0, sin f1, ...]
+    # dim maps to lanes), and a (1, prod) 2-D view wastes 7 of 8 sublanes
+    # the same way; a 1-D array tiles densely.  One transpose at the end
+    # restores the reference channel order [x, sin f0, cos f0, sin f1, ...]
     lead = x.shape[:-1]
     d = x.shape[-1]
-    flat = x.reshape(1, -1)
+    flat = x.reshape(-1)
     parts = [flat] if include_input else []
     s = jnp.sin(flat)
     c = jnp.cos(flat)
@@ -48,7 +49,7 @@ def positional_encoding(x: jnp.ndarray, num_freqs: int,
             s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
         parts.append(s)
         parts.append(c)
-    out = jnp.concatenate(parts, axis=0)          # (P, prod)
+    out = jnp.stack(parts, axis=0)                # (P, prod)
     P = out.shape[0]
     out = jnp.moveaxis(out.reshape((P,) + lead + (d,)), 0, -2)
     return out.reshape(lead + (P * d,))

@@ -119,6 +119,43 @@ def neighbor_ids(grid, shape, base_coords):
     return grid[flat.reshape(-1)].reshape(flat.shape) * ok.astype(jnp.int32)
 
 
+def pack_grid_yx(grid, shape, n_sites: int):
+    """Flat index grid -> (size, 9) rows: packed[v, dy*3+dx] = id of the
+    voxel at v + (0, dy-1, dx-1), zeros beyond the (h, w) edges.
+
+    TPU gathers are per-ROW-cost bound (~8ns/row, flat up to ~128-byte
+    rows), so widening the grid to 9 ids per row turns the 27 scalar taps
+    of :func:`neighbor_ids` into the 3 row taps of
+    :func:`neighbor_ids_packed` — measured ~17ms/frame of neighbor-id
+    gathers at the production shape.  Rows are int16 when every id fits
+    (``n_sites`` < 32767 — always, for a SMPL body at the calibrated
+    caps), halving the build bandwidth; int32 otherwise.
+    """
+    D, H, W = shape
+    g = grid.reshape(D, H, W)
+    dt = jnp.int16 if n_sites < (1 << 15) - 1 else jnp.int32
+    gp = jnp.pad(g.astype(dt), ((0, 0), (1, 1), (1, 1)))
+    cols = [gp[:, dy:H + dy, dx:W + dx] for dy in range(3) for dx in range(3)]
+    return jnp.stack(cols, axis=-1).reshape(D * H * W, 9)
+
+
+def neighbor_ids_packed(packed, shape, base_coords):
+    """(S, 27) neighborhood ids (same layout as :func:`neighbor_ids`) from
+    a :func:`pack_grid_yx` grid — 3 row gathers (one per dz) instead of 27
+    scalar taps."""
+    D, H, W = shape
+    y = base_coords[:, 1]
+    x = base_coords[:, 2]
+    out = []
+    for dz in (-1, 0, 1):
+        cz = base_coords[:, 0] + dz
+        okz = ((cz >= 0) & (cz < D)).astype(jnp.int32)
+        flat = (jnp.clip(cz, 0, D - 1) * H + y) * W + x
+        rows = jnp.take(packed, flat, axis=0).astype(jnp.int32)  # (S, 9)
+        out.append(rows * okz[:, None])
+    return jnp.concatenate(out, axis=1)  # (S, 27), _OFFSETS order
+
+
 def invert_neighbor_ids(nbr, valid_out, n_in):
     """inv[j, k] = 1 + the output row whose k-th neighbor is input site
     id j+1 (0 = none).  Exact and duplicate-free: for a fixed offset k the
@@ -196,6 +233,14 @@ def stride_conv3d(feats, grid_in, shape_in, out_coords, weight, valid_out,
     """Strided conv (kernel 3, stride 2, pad 1): out[o] = sum_k W[k] .
     in[2*o + k - 1].  Returns (S_out, Co)."""
     nbr = neighbor_ids(grid_in, shape_in, 2 * out_coords)
+    inv = invert_neighbor_ids(nbr, valid_out, feats.shape[0])
+    return conv3d_by_ids(feats, nbr, weight, inv, valid_in)
+
+
+def stride_conv3d_packed(feats, packed_in, shape_in, out_coords, weight,
+                         valid_out, valid_in):
+    """:func:`stride_conv3d` with neighbor ids from a yx-packed grid."""
+    nbr = neighbor_ids_packed(packed_in, shape_in, 2 * out_coords)
     inv = invert_neighbor_ids(nbr, valid_out, feats.shape[0])
     return conv3d_by_ids(feats, nbr, weight, inv, valid_in)
 
@@ -538,10 +583,10 @@ class SparseStage(nn.Module):
     n_convs: int
 
     @nn.compact
-    def __call__(self, feats, coords, grid, shape, valid, train: bool = False):
+    def __call__(self, feats, coords, packed, shape, valid, train: bool = False):
         # submanifold convs share the site set: one neighbor-id gather
         # serves every conv in the stage (and, reversed, every adjoint)
-        nbr = neighbor_ids(grid, shape, coords)
+        nbr = neighbor_ids_packed(packed, shape, coords)
         inv = nbr[:, ::-1]
         for i in range(self.n_convs):
             cin = feats.shape[-1]
@@ -560,7 +605,8 @@ class SparseDown(nn.Module):
     cap: int
 
     @nn.compact
-    def __call__(self, feats, coords, grid, shape, valid, train: bool = False):
+    def __call__(self, feats, coords, grid, packed, shape, valid,
+                 train: bool = False):
         new_coords, new_valid, new_shape, overflow = downsample_sites(
             grid, shape, self.cap)
         self.sow("diag", "site_overflow", overflow,
@@ -569,12 +615,13 @@ class SparseDown(nn.Module):
         cin = feats.shape[-1]
         w = self.param("conv", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (3, 3, 3, cin, self.out_channels))
-        out = stride_conv3d(feats, grid, shape, new_coords, w, new_valid,
-                            valid)
+        out = stride_conv3d_packed(feats, packed, shape, new_coords, w,
+                                   new_valid, valid)
         out = MaskedBatchNorm(name="bn")(out, new_valid, train=train)
         out = nn.relu(out) * new_valid[:, None]
         new_grid = build_index_grid(new_coords, new_valid, new_shape)
-        return out, new_coords, new_grid, new_shape, new_valid
+        new_packed = pack_grid_yx(new_grid, new_shape, new_coords.shape[0])
+        return out, new_coords, new_grid, new_packed, new_shape, new_valid
 
 
 class SparseConvNet(nn.Module):
@@ -597,10 +644,11 @@ class SparseConvNet(nn.Module):
         feats = feats.astype(self.dtype)
         shape = self.out_sh
         grid = build_index_grid(coords, valid, shape)
+        packed = pack_grid_yx(grid, shape, coords.shape[0])
 
-        feats = SparseStage(32, 2, name="conv0")(feats, coords, grid, shape, valid, train)
-        feats, coords, grid, shape, valid = SparseDown(32, self.caps[0], name="down0")(
-            feats, coords, grid, shape, valid, train)
+        feats = SparseStage(32, 2, name="conv0")(feats, coords, packed, shape, valid, train)
+        feats, coords, grid, packed, shape, valid = SparseDown(32, self.caps[0], name="down0")(
+            feats, coords, grid, packed, shape, valid, train)
 
         outs = []
         full = np.asarray(self.out_sh, np.float32)
@@ -616,16 +664,16 @@ class SparseConvNet(nn.Module):
             return trilinear_site_sample_packed(f, g, s, query_dhw * scale)
 
         if self.num_layers > 1:
-            feats = SparseStage(32, 2, name="conv1")(feats, coords, grid, shape, valid, train)
+            feats = SparseStage(32, 2, name="conv1")(feats, coords, packed, shape, valid, train)
             outs.append(readout(feats, grid, shape))
-            feats, coords, grid, shape, valid = SparseDown(64, self.caps[1], name="down1")(
-                feats, coords, grid, shape, valid, train)
+            feats, coords, grid, packed, shape, valid = SparseDown(64, self.caps[1], name="down1")(
+                feats, coords, grid, packed, shape, valid, train)
         if self.num_layers > 2:
-            feats = SparseStage(64, 3, name="conv2")(feats, coords, grid, shape, valid, train)
+            feats = SparseStage(64, 3, name="conv2")(feats, coords, packed, shape, valid, train)
             outs.append(readout(feats, grid, shape))
-            feats, coords, grid, shape, valid = SparseDown(96, self.caps[2], name="down2")(
-                feats, coords, grid, shape, valid, train)
+            feats, coords, grid, packed, shape, valid = SparseDown(96, self.caps[2], name="down2")(
+                feats, coords, grid, packed, shape, valid, train)
         if self.num_layers > 3:
-            feats = SparseStage(96, 3, name="conv3")(feats, coords, grid, shape, valid, train)
+            feats = SparseStage(96, 3, name="conv3")(feats, coords, packed, shape, valid, train)
             outs.append(readout(feats, grid, shape))
         return jnp.concatenate(outs, axis=-1)

@@ -87,6 +87,87 @@ def _knn_tables_kernel(q_ref, v_ref, tab_ref, dist_ref, idx_ref, pay_ref,
     pay_ref[:] = pay
 
 
+# smaller point tile than the KNN kernels: the segment-distance math keeps
+# ~5 (P, VT) f32 temps live (vd, vo, b, ts, dist), which at P=1024 blows
+# the 16MB scoped-vmem budget (measured: 20.8M)
+RSEG_P = int(os.environ.get("SHERF_RSEG_P", "256"))
+
+
+def _ray_seg_kernel(r_ref, v_ref, out_ref, *, n_vtiles: int, thr: float):
+    """Min squared distance from a ray SEGMENT to the vertex set, reduced
+    to a <thr boolean.  r_ref: (P, 8) rows [o|d|near|far]; v_ref: (3, V').
+
+    For vertex v and ray (o, d) with t in [near, far]:
+      b = d.(v - o),  a = |v - o|^2,  t* = clamp(b/|d|^2, near, far)
+      dist^2 = a - 2 t* b + t*^2 |d|^2
+    Both v.d and v.o are MXU matmuls; the clamp chain is elementwise.
+    min over t of the segment distance <= min over the discrete samples,
+    so thresholding at the prune radius is a strict superset of "any
+    sample survives the exact 5cm test"."""
+    r = r_ref[:]
+    o, d = r[:, 0:3], r[:, 3:6]
+    near, far = r[:, 6:7], r[:, 7:8]
+    dd = jnp.sum(d * d, axis=1, keepdims=True)
+    dd_inv = 1.0 / jnp.maximum(dd, 1e-12)
+    od = jnp.sum(o * d, axis=1, keepdims=True)
+    oo = jnp.sum(o * o, axis=1, keepdims=True)
+    best = jnp.full((r.shape[0], 1), jnp.inf, jnp.float32)
+    for t in range(n_vtiles):
+        v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]          # (3, VT)
+        vd = jax.lax.dot_general(
+            d, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (P, VT)
+        vo = jax.lax.dot_general(
+            o, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        vsq = jnp.sum(v * v, axis=0, keepdims=True)      # (1, VT)
+        b = vd - od
+        a = vsq - 2.0 * vo + oo
+        ts = jnp.clip(b * dd_inv, near, far)
+        dist = a - 2.0 * ts * b + ts * ts * dd
+        best = jnp.minimum(best, jnp.min(dist, axis=1, keepdims=True))
+    out_ref[:] = (best < thr).astype(jnp.int32)
+
+
+def ray_body_mask_pallas(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
+                         near: jnp.ndarray, far: jnp.ndarray,
+                         verts: jnp.ndarray, threshold_sq: float,
+                         interpret: bool = None):
+    """(N,) bool: does the ray segment [near, far] pass within
+    sqrt(threshold_sq) of ANY vertex?  False -> every sample of the ray
+    fails the exact prune test and the ray composites to background.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n = ray_o.shape[0]
+    v = verts.shape[0]
+    n_pad = -n % RSEG_P
+    v_pad = -v % V_TILE
+    rows = jnp.concatenate([
+        ray_o.astype(jnp.float32), ray_d.astype(jnp.float32),
+        near.astype(jnp.float32)[:, None], far.astype(jnp.float32)[:, None],
+    ], axis=-1)
+    rows = jnp.pad(rows, ((0, n_pad), (0, 0)))
+    vt = jnp.pad(verts.astype(jnp.float32), ((0, v_pad), (0, 0)),
+                 constant_values=SENTINEL).T
+    out = pl.pallas_call(
+        functools.partial(_ray_seg_kernel, n_vtiles=vt.shape[1] // V_TILE,
+                          thr=float(threshold_sq)),
+        grid=(rows.shape[0] // RSEG_P,),
+        in_specs=[
+            pl.BlockSpec((RSEG_P, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, vt.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RSEG_P, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows.shape[0], 1), jnp.int32),
+        interpret=interpret,
+    )(rows, vt)
+    return out[:n, 0] > 0
+
+
 def nn_1_pallas(query: jnp.ndarray, ref: jnp.ndarray,
                 interpret: bool = False):
     """query: (N, 3); ref: (V, 3) -> (dist_sq (N,), idx (N,))."""

@@ -189,7 +189,20 @@ class SHERFRenderer(nn.Module):
         ray_sel = None
         if (ray_mask is not None and rc.ray_capacity_frac < 1.0
                 and rc.point_capacity_frac < 1.0):
+            from sherf_tpu.kernels.knn_pallas import ray_body_mask_pallas
+
             ray_mask = ray_mask.reshape(B, -1).astype(bool)
+            # ray-level body prune: a ray whose SEGMENT [near, far] never
+            # comes within the prune radius of ANY posed vertex has every
+            # sample fail the exact 5cm test (renderer.py:315-321) and
+            # composites to background — so it need not consume ray budget.
+            # Distances are world == SMPL-frame (global R is a rotation).
+            # min over continuous t <= min over the discrete samples, so
+            # this is a strict superset of "any sample survives".
+            ray_mask = ray_mask & jnp.stack([
+                ray_body_mask_pallas(ray_o[b], ray_d[b], near[b], far[b],
+                                     vertices[b], rc.prune_threshold_sq)
+                for b in range(B)])
             depth_lo = jnp.min(near, axis=1)           # (B,) dense-path clip
             depth_hi = jnp.max(far, axis=1)
             rcap = _round_up(max(int(N * rc.ray_capacity_frac), 128), 128)

@@ -210,3 +210,156 @@ def make_gan_train_step(model, smpl, d_model: DualDiscriminator, tcfg,
     return (jax.jit(g_step, donate_argnums=donate_g),
             jax.jit(d_main_step, donate_argnums=(0,) if donate else ()),
             jax.jit(d_reg_step, donate_argnums=(0,) if donate else ()))
+
+
+def make_sharded_gan_steps(model, smpl, d_model: DualDiscriminator, tcfg,
+                           mesh, lpips_fn: Optional[Callable] = None,
+                           donate: bool = False):
+    """Explicit-SPMD adversarial phases: the shard_map counterpart of
+    :func:`make_gan_train_step`, mirroring ``make_sharded_train_step``.
+
+    The reference runs D phases on every GPU under manual DDP
+    (training_loop.py:243-256,374-384); under GSPMD jit the renderer's
+    per-item gathers degrade to the 118-collective-permute regime
+    (BASELINE.md), so the G render runs shard_mapped over the (data, rays)
+    mesh here too.  D itself is plain conv compute on full images: each
+    rays-member sees the identical gathered image, so D terms/grads are
+    replicated along 'rays' and DDP-mean along 'data'.
+
+    Same signatures as make_gan_train_step's triple.  Batches must be
+    pre-sharded with ``shard_batch(batch, mesh, interleave=True)``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from sherf_tpu.core.diag import overflow_total
+    from sherf_tpu.parallel.mesh import batch_pspecs, uninterleave_rays
+    from sherf_tpu.train.loss import reconstruction_loss
+    from sherf_tpu.train.train_state import ema_beta, ema_update
+
+    beta = ema_beta(tcfg.batch_size, tcfg.ema_kimg)
+    rm = mesh.shape["rays"]
+    g_adv_term, d_term = make_gan_losses(d_model)
+
+    def shard_rng(rng):
+        return jax.random.fold_in(
+            rng, jax.lax.axis_index("data") * 4096 + jax.lax.axis_index("rays"))
+
+    def render_full(g_params, extra_vars, batch, rng):
+        """Local-shard G render -> full per-item images (gathered over
+        'rays', re-ordered), + mutable diag."""
+        out, mvars = model.apply(
+            {"params": g_params, **extra_vars}, batch, smpl, train=True,
+            noise_mode="none", flat_output=True,
+            rngs={"density": rng, "noise": jax.random.fold_in(rng, 1)},
+            mutable=["diag"])
+
+        def gather(x):
+            full = jax.lax.all_gather(x, "rays", axis=1, tiled=True)
+            return uninterleave_rays(full, rm)
+
+        B = batch.img.shape[0]
+        H, W = batch.img.shape[1:3]
+        img = gather(out["image_raw"]).reshape(B, H, W, 3)
+        out_img = {"image_raw": img, "image": img,
+                   "weights_image": gather(out["weights_image"]).reshape(B, H, W)}
+        batch_full = batch.replace(mask_at_box=gather(batch.mask_at_box),
+                                   bkgd_msk=gather(batch.bkgd_msk))
+        return out_img, batch_full, mvars
+
+    # ---- Gmain: recon + adv_weight * softplus(-D(fake)), sharded like
+    # make_sharded_train_step.local_grads
+    def g_local_grads(g_params, extra_vars, d_params, batch, rng):
+        rng = shard_rng(rng)
+
+        def local_loss(g_params):
+            out_img, batch_full, mvars = render_full(
+                g_params, extra_vars, batch, rng)
+            loss, metrics = reconstruction_loss(out_img, batch_full, tcfg,
+                                                lpips_fn=lpips_fn)
+            adv = g_adv_term(d_params, out_img)
+            total = loss + tcfg.adv_weight * adv
+            metrics["g_adv"] = adv
+            metrics["loss"] = total
+            metrics["overflow"] = overflow_total(mvars.get("diag", {}))
+            return total, metrics
+
+        (_, metrics), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(g_params)
+        grads = jax.lax.pmean(jax.lax.psum(grads, "rays"), "data")
+        overflow = jax.lax.pmax(metrics.pop("overflow"), ("data", "rays"))
+        metrics = jax.lax.pmean(metrics, "data")
+        metrics["overflow"] = overflow
+        return metrics, grads
+
+    def g_step(g_state, d_state, batch, rng):
+        specs = batch_pspecs(batch)
+        metrics, grads = jax.shard_map(
+            g_local_grads, mesh=mesh,
+            in_specs=(P(), P(), P(), specs, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(g_state.params, g_state.extra_vars, d_state.params, batch, rng)
+        g_state = g_state.apply_gradients(grads)
+        g_state = g_state.replace(
+            ema_params=ema_update(g_state.ema_params, g_state.params, beta))
+        return g_state, metrics
+
+    # ---- Dmain: fake = sharded G render (stopped), real = batch images;
+    # D grads identical along 'rays', DDP-mean along 'data'
+    def d_local_grads(d_params, g_params, extra_vars, batch, rng):
+        rng = shard_rng(rng)
+        out_img, _, _ = render_full(g_params, extra_vars, batch, rng)
+        gen_out = jax.tree.map(jax.lax.stop_gradient, out_img)
+        real = batch.img * 2.0 - 1.0
+
+        def loss_fn(d_params):
+            return d_term(d_params, gen_out, real, real,
+                          r1_gamma=tcfg.r1_gamma, do_r1=False)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            d_params)
+        grads = jax.lax.pmean(grads, ("data", "rays"))
+        metrics = jax.lax.pmean(metrics, ("data", "rays"))
+        return metrics, grads
+
+    def d_main_step(d_state, g_state, batch, rng):
+        specs = batch_pspecs(batch)
+        metrics, grads = jax.shard_map(
+            d_local_grads, mesh=mesh,
+            in_specs=(P(), P(), P(), specs, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(d_state.params, g_state.params, g_state.extra_vars, batch, rng)
+        return d_state.apply_gradients(grads), metrics
+
+    # ---- Dreg: lazy R1 on real images only (no renderer involved)
+    def d_reg_local(d_params, batch):
+        real = batch.img * 2.0 - 1.0
+        gain = float(tcfg.d_reg_interval)
+
+        def loss_fn(d_params):
+            def d_apply(p, image, image_raw):
+                return d_model.apply({"params": p}, image, image_raw)
+
+            r1 = r1_penalty(d_apply, d_params, real, real)
+            return r1 * (tcfg.r1_gamma / 2.0) * gain, {"r1_penalty": r1}
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            d_params)
+        grads = jax.lax.pmean(grads, ("data", "rays"))
+        metrics = jax.lax.pmean(metrics, ("data", "rays"))
+        return metrics, grads
+
+    def d_reg_step(d_state, batch):
+        specs = batch_pspecs(batch)
+        metrics, grads = jax.shard_map(
+            d_reg_local, mesh=mesh,
+            in_specs=(P(), specs),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(d_state.params, batch)
+        return d_state.apply_gradients(grads), metrics
+
+    return (jax.jit(g_step, donate_argnums=(0,) if donate else ()),
+            jax.jit(d_main_step, donate_argnums=(0,) if donate else ()),
+            jax.jit(d_reg_step, donate_argnums=(0,) if donate else ()))

@@ -143,15 +143,18 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
         lpips_fn = lambda a, b: lpips_model.apply({"params": lp}, a, b)
 
     # adversarial phases (reference training_loop.py:243-256), enabled by
-    # adv_weight > 0: construct D + Dmain/Dreg steps.  The GAN steps run
-    # under plain jit (GSPMD) — adversarial training is off in all shipped
-    # SHERF configs, so it doesn't get the shard_map fast path.
+    # adv_weight > 0: construct D + Dmain/Dreg steps.  Multi-device GAN runs
+    # get the same explicit-SPMD shard_map treatment as the recon step
+    # (reference: D phases on every rank under DDP, training_loop.py:243-256,
+    # 374-384) — GSPMD jit would fall into the collective-permute regime.
     gan = tcfg.adv_weight > 0
+    multi = int(np.prod(mesh.devices.shape)) > 1
     d_state = d_main_step = d_reg_step = None
     if gan:
         from sherf_tpu.features.discriminator import DualDiscriminator
         from sherf_tpu.train.gan import (create_d_train_state,
-                                         make_gan_train_step)
+                                         make_gan_train_step,
+                                         make_sharded_gan_steps)
 
         d_model = DualDiscriminator(img_resolution=example.img.shape[1])
         real = example.img * 2.0 - 1.0
@@ -159,14 +162,17 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
             d_model, real, real, tcfg,
             rng=jax.random.PRNGKey(tcfg.seed + 1))
         d_state = replicate(d_state, mesh)
-        step_fn, d_main_step, d_reg_step = make_gan_train_step(
-            model, smpl, d_model, tcfg, lpips_fn=lpips_fn)
+        if multi:
+            step_fn, d_main_step, d_reg_step = make_sharded_gan_steps(
+                model, smpl, d_model, tcfg, mesh, lpips_fn=lpips_fn)
+        else:
+            step_fn, d_main_step, d_reg_step = make_gan_train_step(
+                model, smpl, d_model, tcfg, lpips_fn=lpips_fn)
 
     # single device: plain jit.  Multi-device: explicit-SPMD shard_map step
     # (each device computes only its local batch/ray shard — see
     # make_sharded_train_step on why GSPMD alone mishandles the renderer's
     # per-item gathers).
-    multi = int(np.prod(mesh.devices.shape)) > 1 and not gan
     if gan:
         pass  # step_fn set above
     elif multi:
@@ -253,10 +259,15 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
                                        snap)
                 print(f"snapshot -> {path}")
             # rendered-sample grid per tick (reference training_loop.py:563-579
-            # save_image_grid): eyeball a diverging run without an eval job
-            if proc == 0 and n_proc == 1:
+            # save_image_grid): eyeball a diverging run without an eval job.
+            # Multi-host: host 0 renders its own host-local batch with a
+            # host-local param copy (the reference always writes the grid on
+            # rank 0 — r2 weak #7's n_proc==1 guard dropped it on pods)
+            if proc == 0:
                 try:
-                    _save_sample_grid(model, smpl, state, batch_source(),
+                    # snap is host-local on pods (np arrays), device-resident
+                    # otherwise — either renders under a host-local jit
+                    _save_sample_grid(model, smpl, snap, batch_source(),
                                       os.path.join(run_dir,
                                                    f"fakes{step + 1:06d}.png"))
                 except Exception as e:  # noqa: BLE001 — snapshots must not kill training

@@ -37,10 +37,18 @@ def scene():
 
 
 def test_measure_budgets_counts(scene):
+    from sherf_tpu.kernels.knn_pallas import ray_body_mask_pallas
+
     batch, cfg = scene
     m = measure_budgets(batch, cfg)
-    hit = int(np.asarray(batch.mask_at_box[0]).astype(bool).sum())
-    assert m["rays"] == hit
+    aabb = np.asarray(batch.mask_at_box[0]).astype(bool)
+    # ray budget = AABB hit AND segment-level body proximity (mirrors the
+    # renderer's combined ray compaction mask)
+    seg = np.asarray(ray_body_mask_pallas(
+        batch.ray_o[0], batch.ray_d[0], batch.near[0], batch.far[0],
+        batch.vertices[0], cfg.render.prune_threshold_sq))
+    assert m["rays"] == int((aabb & seg).sum())
+    assert m["rays"] <= int(aabb.sum())
     M = H * W * D
     assert 0 < m["voxel"] <= M
     assert 0 <= m["exact"] <= M

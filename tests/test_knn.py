@@ -110,3 +110,41 @@ def test_payload_warps_match_vid_warps():
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-6)
+
+
+def test_ray_body_mask_superset_and_tight():
+    """ray_body_mask_pallas (segment-level body prune) must be a strict
+    SUPERSET of 'any discrete sample survives the exact 5cm test' and must
+    match the brute-force segment distance exactly."""
+    from sherf_tpu.kernels.knn_pallas import ray_body_mask_pallas
+
+    rng = np.random.RandomState(3)
+    V = 200
+    verts = jnp.asarray(rng.randn(V, 3).astype(np.float32) * 0.3)
+    N, D = 256, 16
+    o = jnp.asarray(rng.randn(N, 3).astype(np.float32) * 2.0)
+    d = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+    near = jnp.asarray(rng.uniform(0.5, 1.0, N).astype(np.float32))
+    far = near + jnp.asarray(rng.uniform(0.5, 2.0, N).astype(np.float32))
+    thr = 0.05 ** 2
+
+    mask = np.asarray(ray_body_mask_pallas(o, d, near, far, verts, thr,
+                                           interpret=True))
+
+    # brute-force segment distance oracle
+    ov = np.asarray(o)[:, None] - np.asarray(verts)[None]      # (N, V, 3)
+    dn = np.asarray(d)
+    dd = (dn * dn).sum(-1)[:, None]
+    b = -(ov * dn[:, None]).sum(-1)                             # d.(v-o)
+    t = np.clip(b / dd, np.asarray(near)[:, None], np.asarray(far)[:, None])
+    dist = (ov ** 2).sum(-1) + 2.0 * t * (-b) + t * t * dd
+    seg_min = dist.min(axis=1)
+    np.testing.assert_array_equal(mask, seg_min < thr)
+
+    # superset of the sample-level test at any sampling
+    ts = np.asarray(near)[:, None] + (np.asarray(far) - np.asarray(near))[:, None] \
+        * np.linspace(0, 1, D)[None]
+    pts = np.asarray(o)[:, None] + ts[..., None] * dn[:, None]  # (N, D, 3)
+    d2 = ((pts[:, :, None] - np.asarray(verts)[None, None]) ** 2).sum(-1)
+    sample_hit = (d2.min(axis=(1, 2)) < thr)
+    assert not np.any(sample_hit & ~mask), "mask dropped a surviving ray"

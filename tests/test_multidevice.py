@@ -130,6 +130,94 @@ def test_sharded_train_step_data_axis_is_ddp_mean():
         float(metrics["loss"]), per_item)
 
 
+def test_sharded_gan_steps_match_single_device():
+    """Adversarial phases under shard_map (1 data x 4 rays) == the plain jit
+    GAN steps: same G/D losses and allclose updated params (r2 missing #4 —
+    the reference runs D phases on every rank under DDP,
+    training_loop.py:243-256)."""
+    from sherf_tpu.core.config import TrainConfig
+    from sherf_tpu.features.discriminator import DualDiscriminator
+    from sherf_tpu.parallel import make_mesh, replicate, shard_batch
+    from sherf_tpu.train import create_train_state
+    from sherf_tpu.train.gan import (create_d_train_state,
+                                     make_gan_train_step,
+                                     make_sharded_gan_steps)
+
+    smpl, cfg, model, batch = _setup_small(batch_size=2, H=8, W=8)
+    # eps=1e-3: Adam's g/(sqrt(v)+eps) flips sign under reduction-order
+    # noise for near-zero gradients (the adv term's D-tower grads), which
+    # would fail any tight param comparison without testing anything real;
+    # a conditioned eps keeps updates smooth in g so the equality check
+    # verifies the distributed gradients, not float noise
+    tcfg = TrainConfig(batch_size=2, lr=1e-3, adv_weight=0.1, eps=1e-3)
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, smpl))(batch)
+    params = dict(variables)["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    rng = jax.random.PRNGKey(7)
+
+    d_model = DualDiscriminator(img_resolution=8)
+    real = batch.img * 2.0 - 1.0
+    d0 = create_d_train_state(d_model, real, real, tcfg,
+                              rng=jax.random.PRNGKey(1))
+
+    g_ref, dm_ref, dr_ref = make_gan_train_step(model, smpl, d_model, tcfg)
+    g0 = create_train_state(params, extra, tcfg)
+    g1_ref, gm_ref = g_ref(g0, d0, batch, rng)
+    d1_ref, dm_m_ref = dm_ref(d0, g1_ref, batch, rng)
+    d2_ref, dr_m_ref = dr_ref(d1_ref, batch)
+
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    g0s = replicate(create_train_state(params, extra, tcfg), mesh)
+    d0s = replicate(create_d_train_state(d_model, real, real, tcfg,
+                                         rng=jax.random.PRNGKey(1)), mesh)
+    sharded = shard_batch(batch, mesh, interleave=True)
+    g_sh, dm_sh, dr_sh = make_sharded_gan_steps(model, smpl, d_model, tcfg,
+                                                mesh)
+    g1, gm = g_sh(g0s, d0s, sharded, rng)
+    d1, dm_m = dm_sh(d0s, g1, sharded, rng)
+    d2, dr_m = dr_sh(d1, sharded)
+
+    assert np.allclose(float(gm["loss"]), float(gm_ref["loss"]), rtol=1e-4)
+    assert np.allclose(float(dm_m["d_loss"]), float(dm_m_ref["d_loss"]),
+                       rtol=1e-4)
+    assert np.allclose(float(dr_m["r1_penalty"]), float(dr_m_ref["r1_penalty"]),
+                       rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g1_ref.params), jax.tree.leaves(g1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(d2_ref.params), jax.tree.leaves(d2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_sharded_gan_g_step_hlo_has_no_renderer_collectives():
+    """The sharded Gmain step must stay permute-free like the recon step."""
+    import re
+
+    from sherf_tpu.core.config import TrainConfig
+    from sherf_tpu.features.discriminator import DualDiscriminator
+    from sherf_tpu.parallel import make_mesh, replicate, shard_batch
+    from sherf_tpu.train import create_train_state
+    from sherf_tpu.train.gan import create_d_train_state, make_sharded_gan_steps
+
+    smpl, cfg, model, batch = _setup_small(batch_size=2, H=8, W=8)
+    tcfg = TrainConfig(batch_size=2, lr=1e-3, adv_weight=0.1)
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, smpl))(batch)
+    params = dict(variables)["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+
+    d_model = DualDiscriminator(img_resolution=8)
+    real = batch.img * 2.0 - 1.0
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    g0 = replicate(create_train_state(params, extra, tcfg), mesh)
+    d0 = replicate(create_d_train_state(d_model, real, real, tcfg), mesh)
+    sharded = shard_batch(batch, mesh, interleave=True)
+    g_sh, _, _ = make_sharded_gan_steps(model, smpl, d_model, tcfg, mesh)
+    hlo = g_sh.lower(g0, d0, sharded, jax.random.PRNGKey(0)).compile().as_text()
+    permutes = len(re.findall(r"collective-permute", hlo))
+    assert permutes == 0, f"{permutes} collective-permutes leaked into Gmain"
+
+
 def test_sharded_train_step_hlo_has_no_renderer_collectives():
     """The shard_map step's HLO must contain only the loss ray-gather and
     the gradient reductions — none of the per-batch-item collective-permutes

@@ -28,6 +28,9 @@ def timeit(fn, *args, iters=10, warmup=2, tag=""):
 
 
 import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sherf_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp  # noqa: E402
 
 
