@@ -161,6 +161,27 @@ def import_stylegan2_backbone(sd: Mapping[str, np.ndarray], img_resolution: int 
     return params, noise, ema
 
 
+def import_superresolution(sd: Mapping[str, np.ndarray], prefix: str = ""):
+    """Reference SuperresolutionHybrid{2X,4X,8X,8XDC} state_dict ->
+    (params, noise) for features.superresolution.SuperresolutionHybrid
+    (two blocks of conv0/conv1/torgb SynthesisLayers,
+    superresolution.py:29-291)."""
+    params: Dict = {}
+    noise: Dict = {}
+    for b in ("block0", "block1"):
+        bp: Dict = {}
+        bn: Dict = {}
+        for layer in ("conv0", "conv1"):
+            bp[layer], n = _import_synth_layer(sd, f"{prefix}{b}.{layer}")
+            if n:
+                bn[layer] = n
+        bp["torgb"], _ = _import_synth_layer(sd, f"{prefix}{b}.torgb")
+        params[b] = bp
+        if bn:
+            noise[b] = bn
+    return params, noise
+
+
 # ---------------------------------------------------------------------------
 # Full SHERF generator (reference TriPlaneGenerator state_dict)
 

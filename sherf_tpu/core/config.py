@@ -70,6 +70,12 @@ class RenderConfig:
     # count (1.0 = no ray compaction).  Exact as long as the budget covers
     # every ray whose mask_at_box is set; overflow rays render background.
     ray_capacity_frac: float = 1.0
+    # Fine-pass (importance) survivor budget as a fraction of
+    # N_rays * depth_resolution_importance; None = reuse
+    # point_capacity_frac.  Only consulted when the hierarchical pass is
+    # on AND point_capacity_frac < 1 (budgeted mode); the parity-mode
+    # importance path stays full-compute dense.
+    importance_capacity_frac: Optional[float] = None
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self))
@@ -178,6 +184,9 @@ class TrainConfig:
     d_reg_interval: int = 16           # lazy-R1 cadence (training_loop.py:143)
     seed: int = 0
     kimg_per_tick: int = 1
+    # console/stats cadence in images (reference prints every 100 imgs,
+    # training_loop.py:418-448); tests shrink it so abort_fn polls sooner
+    report_imgs: int = 100
     snapshot_ticks: int = 1
     outdir: str = "runs"
     resume: Optional[str] = None

@@ -6,13 +6,13 @@ Output layout matches the reference exactly:
 where each sin/cos block covers all input dims and f_k = 2^k
 (freqs = 2^linspace(0, num_freqs-1)).
 
-The default path computes ONE sin/cos pair and derives the higher octaves
-with the double-angle recurrence (sin 2a = 2 sin a cos a,
-cos 2a = 1 - 2 sin^2 a) — pure multiply-adds instead of transcendentals.
-The device trace showed sin/cos of 524k x 3 x 15 octaves costing ~26 ms of
-a ~310 ms frame; the recurrence removes ~90% of it.  f32 drift vs the
-direct evaluation is < 1e-5 per octave (pinned by test); ``exact=True``
-keeps the reference formulation for oracle comparisons.
+Direct sin/cos evaluation in the natural layout: a double-angle
+recurrence variant (sin 2a = 2 sin a cos a) was used in rounds 1-2, but
+its channel-major intermediate forces a (P, N, d) -> (N, P*d) transpose
+with a tiny minor dimension that dominates at the compacted point counts
+(measured 2.8 s (!) vs 4 ms direct for the production trio of encodings
+at 196k points on v5e — the transcendentals were never the cost).
+``exact`` is kept for API compatibility; both paths are identical now.
 """
 
 from __future__ import annotations
@@ -25,31 +25,10 @@ def positional_encoding(x: jnp.ndarray, num_freqs: int,
                         include_input: bool = True,
                         exact: bool = False) -> jnp.ndarray:
     """x: (..., d) -> (..., d * 2 * num_freqs [+ d])."""
-    if exact:
-        freqs = 2.0 ** np.linspace(0.0, num_freqs - 1, num_freqs)
-        parts = [x] if include_input else []
-        for f in freqs:
-            parts.append(jnp.sin(x * f))
-            parts.append(jnp.cos(x * f))
-        return jnp.concatenate(parts, axis=-1)
-
-    # compute on a fully-flat 1-D view: the natural (..., 3) layout leaves
-    # 125 of 128 lanes idle for every op in the recurrence (the trailing
-    # dim maps to lanes), and a (1, prod) 2-D view wastes 7 of 8 sublanes
-    # the same way; a 1-D array tiles densely.  One transpose at the end
-    # restores the reference channel order [x, sin f0, cos f0, sin f1, ...]
-    lead = x.shape[:-1]
-    d = x.shape[-1]
-    flat = x.reshape(-1)
-    parts = [flat] if include_input else []
-    s = jnp.sin(flat)
-    c = jnp.cos(flat)
-    for k in range(num_freqs):
-        if k > 0:
-            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
-        parts.append(s)
-        parts.append(c)
-    out = jnp.stack(parts, axis=0)                # (P, prod)
-    P = out.shape[0]
-    out = jnp.moveaxis(out.reshape((P,) + lead + (d,)), 0, -2)
-    return out.reshape(lead + (P * d,))
+    del exact  # one path: direct evaluation (see module docstring)
+    freqs = 2.0 ** np.linspace(0.0, num_freqs - 1, num_freqs)
+    parts = [x] if include_input else []
+    for f in freqs:
+        parts.append(jnp.sin(x * f))
+        parts.append(jnp.cos(x * f))
+    return jnp.concatenate(parts, axis=-1)

@@ -211,8 +211,22 @@ neighbor_gather.defvjp(_neighbor_gather_fwd, _neighbor_gather_bwd)
 
 def conv3d_by_ids(feats, nbr, weight, inv_nbr, valid_in):
     """Sparse 3x3x3 conv given precomputed neighbor ids (S, 27) and their
-    inverse table (S_in, 27)."""
-    w = weight.reshape(27, weight.shape[-2], weight.shape[-1])
+    inverse table (S_in, 27).
+
+    The neighborhood is padded 27 -> 32 with empty ids and zero weight
+    taps: the gathered (S*27, C) -> (S, 27, C) reshape re-tiles (27 is not
+    a multiple of the 8-row sublane tile), which cost ~5ms/frame of pure
+    relayout copies; at K=32 the reshape is layout-preserving.  Zero-id
+    taps read the zero row and contribute exactly nothing."""
+    K = nbr.shape[1]
+    pad = -K % 32
+    if pad:
+        nbr = jnp.pad(nbr, ((0, 0), (0, pad)))
+        inv_nbr = jnp.pad(inv_nbr, ((0, 0), (0, pad)))
+    w = weight.reshape(K, weight.shape[-2], weight.shape[-1])
+    if pad:
+        w = jnp.concatenate(
+            [w, jnp.zeros((pad,) + w.shape[1:], w.dtype)], axis=0)
     return jnp.einsum("ski,kio->so",
                       neighbor_gather(feats, nbr, inv_nbr, valid_in),
                       w.astype(feats.dtype))
@@ -528,6 +542,76 @@ def trilinear_site_sample_packed(feats, grid, shape, pos):
     return weighted_gather(feats_pad, rows, wg, w_grad=False)
 
 
+def trilinear_site_sample_pairpacked(feats, grid, shape, coords, valid, pos):
+    """Trilinear readout with a corner-packed GRID and a w-PAIR-packed
+    FEATURE table: one (N, 8) grid-row gather + FOUR feature taps of 2C
+    width (instead of 8 taps of C) — each packed row holds a site's
+    features and its +w neighbor's, so the two x-corners of every (z, y)
+    corner pair come from one tap.  Numerically identical to
+    :func:`trilinear_site_sample_packed` (same f32 weights, exact zeros at
+    empty corners; summation pairs the x-corners first).
+
+    feats: (S, C); grid: flat (D*H*W,); coords: (S, 3) int dhw; valid:
+    (S,); pos: (N, 3) float voxel coords.
+    """
+    from sherf_tpu.kernels.segment_accum import paired_weighted_gather
+
+    D, H, W = shape
+    size = D * H * W
+    C = feats.shape[-1]
+    g = grid.reshape(D, H, W)
+    gp = jnp.pad(g, ((0, 1), (0, 1), (0, 1)))
+    packed = jnp.stack([gp[dz:D + dz, dy:H + dy, dx:W + dx]
+                        for dz, dy, dx in _CORNERS8],
+                       axis=-1).reshape(size, 8)
+
+    p0 = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - p0.astype(pos.dtype)
+    b = jnp.clip(p0, 0, jnp.asarray(shape, jnp.int32) - 1)
+    rows = jnp.take(packed, _flat(b, shape), axis=0)        # (N, 8) ids
+
+    def axis_w(c, f, dim):
+        delta = c - jnp.clip(c, 0, dim - 1)
+        out = []
+        for gk in (0, 1):
+            o = gk - delta
+            ok = (o >= 0) & (o <= 1) & (c + o >= 0) & (c + o <= dim - 1)
+            out.append(jnp.where(ok, jnp.where(o == 1, f, 1.0 - f), 0.0))
+        return out
+
+    wz = axis_w(p0[:, 0], frac[:, 0], shape[0])
+    wy = axis_w(p0[:, 1], frac[:, 1], shape[1])
+    wx = axis_w(p0[:, 2], frac[:, 2], shape[2])
+
+    # pair-packed feature table: pf[s] = [feats[s] | feats[site at
+    # coords(s) + (0,0,1)]] — the +w neighbor id is one small gather
+    nxt = coords + jnp.asarray([0, 0, 1], jnp.int32)
+    okn = valid & _inbounds(nxt, shape)
+    wnbr = jnp.take(grid, jnp.clip(_flat(nxt, shape), 0, size - 1)
+                    ) * okn.astype(jnp.int32)               # (S,) id or 0
+    feats_pad = jnp.concatenate([jnp.zeros((1, C), feats.dtype), feats], 0)
+    pf = jnp.concatenate([feats, feats_pad[wnbr]], axis=-1)  # (S, 2C)
+    pf_pad = jnp.concatenate([jnp.zeros((1, 2 * C), feats.dtype), pf], 0)
+
+    # per (z, y) corner pair: tap the x-corner's row when occupied (its
+    # second half IS the x+1 corner), else the x+1 corner's row (first
+    # half only — its second half would be the x+2 corner)
+    ids, was, wbs = [], [], []
+    for p, (gz, gy, gx) in enumerate(_CORNERS8[::2]):
+        w0 = wz[gz] * wy[gy] * wx[0]
+        w1 = wz[gz] * wy[gy] * wx[1]
+        i0 = rows[:, 2 * p]
+        i1 = rows[:, 2 * p + 1]
+        use0 = i0 > 0
+        ids.append(jnp.where(use0, i0, i1))
+        was.append(jnp.where(use0, w0, w1))
+        wbs.append(jnp.where(use0, w1, 0.0))
+    ids4 = jnp.stack(ids, axis=-1)
+    wa = jnp.stack(was, axis=-1)
+    wb = jnp.stack(wbs, axis=-1)
+    return paired_weighted_gather(pf_pad, ids4, wa, wb)
+
+
 def trilinear_site_sample(feats, grid, shape, pos):
     """Trilinear interpolation of the sparse volume at float voxel positions
     (zeros at empty voxels — identical to .dense() + grid_sample).
@@ -653,27 +737,29 @@ class SparseConvNet(nn.Module):
         outs = []
         full = np.asarray(self.out_sh, np.float32)
 
-        def readout(f, g, s):
+        def readout(f, g, s, co, va):
             # reference convention (renderer.py:544-556 + grid_sample
             # align_corners=True): u = dhw/out_sh*2-1 over the scale-s
             # volume.  Index-grid site sampling reuses the conv stack's
             # existing grid — no dense feature grid is ever built
             # (measured 6x faster than the dense-scatter readout at the
-            # half-res scale, tools/profile_readout3d.py).
+            # half-res scale, tools/profile_readout3d.py); features are
+            # w-pair-packed so a query costs 4 taps instead of 8.
             scale = (np.asarray(s, np.float32) - 1.0) / full
-            return trilinear_site_sample_packed(f, g, s, query_dhw * scale)
+            return trilinear_site_sample_pairpacked(f, g, s, co, va,
+                                                    query_dhw * scale)
 
         if self.num_layers > 1:
             feats = SparseStage(32, 2, name="conv1")(feats, coords, packed, shape, valid, train)
-            outs.append(readout(feats, grid, shape))
+            outs.append(readout(feats, grid, shape, coords, valid))
             feats, coords, grid, packed, shape, valid = SparseDown(64, self.caps[1], name="down1")(
                 feats, coords, grid, packed, shape, valid, train)
         if self.num_layers > 2:
             feats = SparseStage(64, 3, name="conv2")(feats, coords, packed, shape, valid, train)
-            outs.append(readout(feats, grid, shape))
+            outs.append(readout(feats, grid, shape, coords, valid))
             feats, coords, grid, packed, shape, valid = SparseDown(96, self.caps[2], name="down2")(
                 feats, coords, grid, packed, shape, valid, train)
         if self.num_layers > 3:
             feats = SparseStage(96, 3, name="conv3")(feats, coords, packed, shape, valid, train)
-            outs.append(readout(feats, grid, shape))
+            outs.append(readout(feats, grid, shape, coords, valid))
         return jnp.concatenate(outs, axis=-1)

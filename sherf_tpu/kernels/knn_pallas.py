@@ -94,21 +94,21 @@ RSEG_P = int(os.environ.get("SHERF_RSEG_P", "256"))
 
 
 def _ray_seg_kernel(r_ref, v_ref, out_ref, *, n_vtiles: int, thr: float):
-    """Min squared distance from a ray SEGMENT to the vertex set, reduced
-    to a <thr boolean.  r_ref: (P, 8) rows [o|d|near|far]; v_ref: (3, V').
+    """Min squared distance from a ray LINE to the vertex set, reduced to
+    a <thr boolean.  r_ref: (P, 8) rows [o|d|near|far]; v_ref: (3, V').
 
-    For vertex v and ray (o, d) with t in [near, far]:
-      b = d.(v - o),  a = |v - o|^2,  t* = clamp(b/|d|^2, near, far)
-      dist^2 = a - 2 t* b + t*^2 |d|^2
-    Both v.d and v.o are MXU matmuls; the clamp chain is elementwise.
-    min over t of the segment distance <= min over the discrete samples,
-    so thresholding at the prune radius is a strict superset of "any
-    sample survives the exact 5cm test"."""
+    For vertex v and the infinite line (o, d):
+      b = d.(v - o),  a = |v - o|^2,  dist^2 = a - b^2 / |d|^2
+    Both v.d and v.o are MXU matmuls; the rest is a short elementwise
+    chain.  line min <= segment min <= min over the discrete samples, so
+    thresholding at the prune radius is a strict superset of "any sample
+    survives the exact 5cm test".  (The segment clamp to [near, far] was
+    measured ~40% slower for no ray reduction: rays whose line passes the
+    body but whose segment doesn't are already AABB-misses, and the
+    combined mask is AND-ed with mask_at_box.)"""
     r = r_ref[:]
     o, d = r[:, 0:3], r[:, 3:6]
-    near, far = r[:, 6:7], r[:, 7:8]
-    dd = jnp.sum(d * d, axis=1, keepdims=True)
-    dd_inv = 1.0 / jnp.maximum(dd, 1e-12)
+    dd_inv = 1.0 / jnp.maximum(jnp.sum(d * d, axis=1, keepdims=True), 1e-12)
     od = jnp.sum(o * d, axis=1, keepdims=True)
     oo = jnp.sum(o * o, axis=1, keepdims=True)
     best = jnp.full((r.shape[0], 1), jnp.inf, jnp.float32)
@@ -122,9 +122,7 @@ def _ray_seg_kernel(r_ref, v_ref, out_ref, *, n_vtiles: int, thr: float):
             preferred_element_type=jnp.float32)
         vsq = jnp.sum(v * v, axis=0, keepdims=True)      # (1, VT)
         b = vd - od
-        a = vsq - 2.0 * vo + oo
-        ts = jnp.clip(b * dd_inv, near, far)
-        dist = a - 2.0 * ts * b + ts * ts * dd
+        dist = (vsq - 2.0 * vo + oo) - b * b * dd_inv
         best = jnp.minimum(best, jnp.min(dist, axis=1, keepdims=True))
     out_ref[:] = (best < thr).astype(jnp.int32)
 

@@ -206,3 +206,54 @@ def weighted_gather(table: jnp.ndarray, ids: jnp.ndarray, w: jnp.ndarray,
     """
     return _weighted_gather_for(table.shape[0], str(table.dtype),
                                 bool(w_grad))(table, ids, w)
+
+
+@functools.lru_cache(maxsize=None)
+def _paired_weighted_gather_for(n_rows: int, dtype_name: str):
+    """custom_vjp for :func:`paired_weighted_gather` (static S/dtype)."""
+
+    @jax.custom_vjp
+    def f(table, ids, wa, wb):
+        C2 = table.shape[-1]
+        C = C2 // 2
+        rows = table[ids.reshape(-1)].reshape(*ids.shape, C2)
+        ra = rows[..., :C].astype(wa.dtype)
+        rb = rows[..., C:].astype(wa.dtype)
+        return jnp.sum(ra * wa[..., None] + rb * wb[..., None], axis=-2)
+
+    def fwd(table, ids, wa, wb):
+        return f(table, ids, wa, wb), (ids, wa, wb)
+
+    def bwd(res, g):
+        ids, wa, wb = res
+        C = g.shape[-1]
+        gf = g.reshape(-1, C)
+        idf = ids.reshape(-1, ids.shape[-1])
+        if _USE_MULTIHOT and n_rows <= 32768 \
+                and jax.default_backend() in ("tpu", "axon"):
+            da = weighted_accumulate(idf, wa.reshape(idf.shape), gf, n_rows)
+            db = weighted_accumulate(idf, wb.reshape(idf.shape), gf, n_rows)
+        else:
+            da = _scatter_accumulate(idf, wa.reshape(idf.shape), gf, n_rows)
+            db = _scatter_accumulate(idf, wb.reshape(idf.shape), gf, n_rows)
+        d = jnp.concatenate([da, db], axis=-1)
+        # weights derive from query positions (pure data): cotangent dead
+        return (d.astype(dtype_name), None,
+                jnp.zeros_like(wa), jnp.zeros_like(wb))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def paired_weighted_gather(table: jnp.ndarray, ids: jnp.ndarray,
+                           wa: jnp.ndarray, wb: jnp.ndarray):
+    """sum_k wa[..,k] * table[ids[..,k], :C] + wb[..,k] * table[ids[..,k], C:].
+
+    The x-PACKED readout form: ``table`` is (S, 2C) with each row holding a
+    site's features and its +w-neighbor's features, so a trilinear readout
+    needs K=4 row taps instead of 8 (TPU gathers are per-row-cost bound).
+    Table adjoint = two weighted multi-hot matmul accumulations (one per
+    half); the weights' cotangent is declared dead (query-position data).
+    """
+    return _paired_weighted_gather_for(table.shape[0], str(table.dtype))(
+        table, ids, wa, wb)

@@ -172,7 +172,15 @@ class SHERFRenderer(nn.Module):
 
         if rc.depth_resolution_importance > 0:
             # hierarchical fine pass (clean version of the reference's dead
-            # fine-pass code, renderer.py:374-393); full-compute dense path
+            # fine-pass code, renderer.py:374-393).  Budgeted mode routes
+            # both passes through the prune/compaction machinery; parity
+            # mode (frac == 1) stays full-compute dense.
+            if rc.point_capacity_frac < 1.0:
+                return self._forward_importance_budgeted(
+                    planes, obs_img, obs_feat, vol_feats, vol_coords,
+                    min_dhw, ray_o, ray_d, near, far, ctx_target, ctx_big,
+                    ctx_obs, vertices, t_vertices, t_bounds, obs_K, obs_R,
+                    obs_T, smpl, train, ray_mask)
             return self._forward_importance(
                 planes, obs_img, obs_feat, vol_feats, vol_coords, min_dhw,
                 ray_o, ray_d, near, far, ctx_target, ctx_big, ctx_obs,
@@ -189,43 +197,8 @@ class SHERFRenderer(nn.Module):
         ray_sel = None
         if (ray_mask is not None and rc.ray_capacity_frac < 1.0
                 and rc.point_capacity_frac < 1.0):
-            from sherf_tpu.kernels.knn_pallas import ray_body_mask_pallas
-
-            ray_mask = ray_mask.reshape(B, -1).astype(bool)
-            # ray-level body prune: a ray whose SEGMENT [near, far] never
-            # comes within the prune radius of ANY posed vertex has every
-            # sample fail the exact 5cm test (renderer.py:315-321) and
-            # composites to background — so it need not consume ray budget.
-            # Distances are world == SMPL-frame (global R is a rotation).
-            # min over continuous t <= min over the discrete samples, so
-            # this is a strict superset of "any sample survives".
-            ray_mask = ray_mask & jnp.stack([
-                ray_body_mask_pallas(ray_o[b], ray_d[b], near[b], far[b],
-                                     vertices[b], rc.prune_threshold_sq)
-                for b in range(B)])
-            depth_lo = jnp.min(near, axis=1)           # (B,) dense-path clip
-            depth_hi = jnp.max(far, axis=1)
-            rcap = _round_up(max(int(N * rc.ray_capacity_frac), 128), 128)
-            if jax.default_backend() in ("tpu", "axon"):
-                pairs = [compact_mask(ray_mask[b], rcap) for b in range(B)]
-                ridx = jnp.stack([p[0] for p in pairs])
-                rvalid = jnp.stack([p[1] for p in pairs])
-            else:
-                ridx, rvalid = jax.vmap(
-                    lambda m: _compact_indices(m, rcap))(ray_mask)
-            self._sow_overflow("ray_overflow",
-                               jnp.sum(ray_mask, axis=1) - rcap)
-            gr = jnp.minimum(ridx, N - 1)
-            # invalid tail rays park far outside the body so the capsule
-            # prune drops every one of their samples (zero budget consumed)
-            ray_o = jnp.where(rvalid[..., None],
-                              jnp.take_along_axis(ray_o, gr[..., None], axis=1),
-                              1e6)
-            ray_d = jnp.take_along_axis(ray_d, gr[..., None], axis=1)
-            near = jnp.take_along_axis(near, gr, axis=1)
-            far = jnp.take_along_axis(far, gr, axis=1)
-            ray_sel = (ridx, rvalid, depth_lo, depth_hi)
-            N = rcap
+            ray_o, ray_d, near, far, ray_sel, N = self._compact_rays(
+                ray_o, ray_d, near, far, ray_mask, vertices)
         if planes is not None:
             planes = planes.astype(cdt)
         if obs_feat is not None:
@@ -400,19 +373,8 @@ class SHERFRenderer(nn.Module):
               valid, near, far, ray_d, *(clip if clip else ()))
             if ray_sel is None:
                 return rgb, depth, acc
-            # ---- scatter the composited pixels back to the full ray set;
-            # non-hitting rays get the dense path's empty-ray values
-            ridx, rvalid, depth_lo, depth_hi = ray_sel
-            empty_rgb = 1.0 if rc.white_back else -1.0
-            bi = jnp.arange(B)[:, None]
-            rgb_f = jnp.full((B, N_full, 3), empty_rgb).at[bi, ridx].set(
-                jnp.where(rvalid[..., None], rgb, empty_rgb), mode="drop")
-            depth_f = jnp.broadcast_to(depth_hi[:, None], (B, N_full)).at[
-                bi, ridx].set(jnp.where(rvalid, depth, depth_hi[:, None]),
-                              mode="drop")
-            acc_f = jnp.zeros((B, N_full)).at[bi, ridx].set(
-                jnp.where(rvalid, acc, 0.0), mode="drop")
-            return rgb_f, depth_f, acc_f
+            # scatter the composited pixels back to the full ray set
+            return self._scatter_rays_back(rgb, depth, acc, ray_sel, N_full)
 
         # ---- parity mode: scatter-free dense grid march (renderer.py:364-371)
         colors = rgb_pts * exact_s[..., None]
@@ -427,6 +389,54 @@ class SHERFRenderer(nn.Module):
                                           white_back=rc.white_back)
         )(colors, dens, depths_r, ray_d)
         return rgb, depth, jnp.sum(weights, axis=-1)
+
+    # ------------------------------------------------------------------
+    def _compact_rays(self, ray_o, ray_d, near, far, ray_mask, vertices):
+        """Static-budget ray compaction: AABB-hitting rays that also pass
+        the segment-level body-proximity test (see ray_body_mask_pallas).
+
+        A ray whose SEGMENT [near, far] never comes within the prune radius
+        of ANY posed vertex has every sample fail the exact 5cm test
+        (renderer.py:315-321) and composites to background — so it need not
+        consume ray budget.  Distances are world == SMPL-frame (global R is
+        a rotation); min over continuous t <= min over the discrete
+        samples, so this is a strict superset of "any sample survives".
+
+        Returns (ray_o, ray_d, near, far, ray_sel, rcap) with the ray
+        tensors gathered down to the budget; ray_sel = (ridx, rvalid,
+        depth_lo, depth_hi) for the final scatter-back.
+        """
+        from sherf_tpu.kernels.knn_pallas import ray_body_mask_pallas
+
+        rc = self.cfg.render
+        B, N = ray_o.shape[:2]
+        ray_mask = ray_mask.reshape(B, -1).astype(bool)
+        ray_mask = ray_mask & jnp.stack([
+            ray_body_mask_pallas(ray_o[b], ray_d[b], near[b], far[b],
+                                 vertices[b], rc.prune_threshold_sq)
+            for b in range(B)])
+        depth_lo = jnp.min(near, axis=1)           # (B,) dense-path clip
+        depth_hi = jnp.max(far, axis=1)
+        rcap = _round_up(max(int(N * rc.ray_capacity_frac), 128), 128)
+        if jax.default_backend() in ("tpu", "axon"):
+            pairs = [compact_mask(ray_mask[b], rcap) for b in range(B)]
+            ridx = jnp.stack([p[0] for p in pairs])
+            rvalid = jnp.stack([p[1] for p in pairs])
+        else:
+            ridx, rvalid = jax.vmap(
+                lambda m: _compact_indices(m, rcap))(ray_mask)
+        self._sow_overflow("ray_overflow",
+                           jnp.sum(ray_mask, axis=1) - rcap)
+        gr = jnp.minimum(ridx, N - 1)
+        # invalid tail rays park far outside the body so the prune drops
+        # every one of their samples (zero budget consumed)
+        ray_o = jnp.where(rvalid[..., None],
+                          jnp.take_along_axis(ray_o, gr[..., None], axis=1),
+                          1e6)
+        ray_d = jnp.take_along_axis(ray_d, gr[..., None], axis=1)
+        near = jnp.take_along_axis(near, gr, axis=1)
+        far = jnp.take_along_axis(far, gr, axis=1)
+        return ray_o, ray_d, near, far, (ridx, rvalid, depth_lo, depth_hi), rcap
 
     # ------------------------------------------------------------------
     def _eval_points_full(self, pts, dirs, ctx_target, ctx_big, tab_t2c,
@@ -461,6 +471,64 @@ class SHERFRenderer(nn.Module):
         colors = rgb * mask[..., None]
         dens = jnp.where(mask, sigma, -80.0)
         return colors, dens
+
+    def _eval_points_budgeted(self, depths, ray_o, ray_d, vertices,
+                              ctx_target, ctx_big, tab_t2c, tar_smpl,
+                              bank_args, cap_frac, n_total, smpl, train,
+                              name):
+        """Budgeted point evaluation over an ARBITRARY (B, N, Dx) depth
+        grid: stride-1 occupancy prune -> static-capacity compaction ->
+        fused exact-KNN+payload -> LBS warp -> feature banks + decoder.
+
+        The importance depths are irregular (PDF-sampled), so every sample
+        is tested against the dilated occupancy grid directly (no stride
+        trick) and positions are gathered, not recomputed.  Returns
+        (colors (B, cap, 3), dens (B, cap), idx (B, cap) flat sample ids
+        with sentinel M, valid (B, cap)); pruned/exact-failed samples
+        composite as density -80 through the caller's scatter.
+        """
+        rc = self.cfg.render
+        B, N, Dx = depths.shape
+        M = N * Dx
+        pts = (ray_o[:, :, None] + depths[..., None] * ray_d[:, :, None]
+               ).reshape(B, M, 3)
+        radius = float(np.sqrt(rc.prune_threshold_sq))
+        occ = jnp.stack([occupancy_mask(pts[b], vertices[b], radius=radius)
+                         for b in range(B)])
+        cap = _round_up(max(int(n_total * cap_frac), 128), 128)
+        cap = min(cap, M)
+        self._sow_overflow(name, jnp.sum(occ.astype(jnp.int32), axis=1) - cap)
+        if jax.default_backend() in ("tpu", "axon"):
+            pairs = [compact_mask(occ[b], cap) for b in range(B)]
+            idx = jnp.stack([p[0] for p in pairs])
+            valid = jnp.stack([p[1] for p in pairs])
+        else:
+            idx, valid = jax.vmap(lambda m: _compact_indices(m, cap))(occ)
+        gidx = jnp.minimum(idx, M - 1)
+
+        dirs = jnp.broadcast_to(ray_d[:, :, None], (B, N, Dx, 3)
+                                ).reshape(B, M, 3)
+        packed = jnp.concatenate([pts, dirs], axis=-1)       # (B, M, 6)
+        rows = jnp.take_along_axis(packed, gidx[..., None], axis=1)
+        pts_s, dirs_s = rows[..., 0:3], rows[..., 3:6]
+        q_s = jnp.einsum("bnc,bcd->bnd",
+                         pts_s - ctx_target.Th[:, None], ctx_target.R)
+        qd_s = jnp.einsum("bnc,bcd->bnd", dirs_s, ctx_target.R)
+        d2_s, _, pay_t2c = jax.vmap(nn_1_tables)(q_s, tar_smpl, tab_t2c)
+        exact_s = valid & (d2_s < rc.prune_threshold_sq)
+
+        can, can_dir = jax.vmap(
+            lambda ct, cb, pay, qq, qq_d: deform_target2c_from_tables(
+                ct, cb, pay, qq, qq_d)
+        )(ctx_target, ctx_big, pay_t2c, q_s, qd_s)
+        out = self.decode_points(*bank_args[:6], can, can_dir, *bank_args[6:])
+        sigma = out["sigma"][..., 0]
+        if train and rc.density_noise > 0:
+            noise = jax.random.normal(self.make_rng("density"), sigma.shape)
+            sigma = sigma + noise * rc.density_noise
+        colors = out["rgb"] * exact_s[..., None]
+        dens = jnp.where(exact_s, sigma, -80.0)
+        return colors, dens, idx, valid
 
     def _forward_importance(self, planes, obs_img, obs_feat, vol_feats,
                             vol_coords, min_dhw, ray_o, ray_d, near, far,
@@ -553,6 +621,136 @@ class SHERFRenderer(nn.Module):
                                           white_back=rc.white_back)
         )(all_c, all_s, all_d, ray_d)
         return rgb, depth, jnp.sum(weights, axis=-1)
+
+    def _forward_importance_budgeted(self, planes, obs_img, obs_feat,
+                                     vol_feats, vol_coords, min_dhw, ray_o,
+                                     ray_d, near, far, ctx_target, ctx_big,
+                                     ctx_obs, vertices, t_vertices, t_bounds,
+                                     obs_K, obs_R, obs_T, smpl, train,
+                                     ray_mask):
+        """Hierarchical pass through the production budget machinery
+        (VERDICT r2 weak #6 / next #7: the dense `_forward_importance` is
+        ~an order of magnitude slower at shipped shapes and had no budget
+        story).  Structure:
+
+          ray compaction (same combined AABB+segment mask as __call__)
+          -> coarse pass via `_eval_points_budgeted` at the uniform grid
+          -> scatter to the dense (N, D) grid -> march for weights
+          -> smoothed-PDF importance depths
+          -> fine pass via `_eval_points_budgeted` at the PDF depths
+          -> depth-sorted union march (unify_samples, renderer.py:443-456)
+          -> scatter composited pixels back to the full ray set.
+
+        Overflow counters: imp_coarse_overflow / imp_fine_overflow (budget
+        fracs: point_capacity_frac / importance_capacity_frac).
+        """
+        from sherf_tpu.nerf.importance import sample_importance
+
+        cfg = self.cfg
+        rc = cfg.render
+        cdt = self.compute_dtype
+        B, N_full = ray_o.shape[:2]
+        D = rc.depth_resolution
+        Di = rc.depth_resolution_importance
+        fine_frac = (rc.importance_capacity_frac
+                     if rc.importance_capacity_frac is not None
+                     else rc.point_capacity_frac)
+
+        if planes is not None:
+            planes = planes.astype(cdt)
+        if obs_feat is not None:
+            obs_feat = obs_feat.astype(cdt)
+        if vol_feats is not None:
+            vol_feats = vol_feats.astype(cdt)
+
+        ray_sel = None
+        N = N_full
+        if ray_mask is not None and rc.ray_capacity_frac < 1.0:
+            ray_o, ray_d, near, far, ray_sel, N = self._compact_rays(
+                ray_o, ray_d, near, far, ray_mask, vertices)
+
+        tar_smpl = jnp.einsum("bvc,bcd->bvd",
+                              vertices - ctx_target.Th[:, None], ctx_target.R)
+        tab_t2c = jax.vmap(
+            lambda ct, cb: target2c_tables(smpl, ct, cb)
+        )(ctx_target, ctx_big)
+        bank_args = (planes, obs_img, obs_feat, vol_feats, vol_coords,
+                     min_dhw, ctx_obs, ctx_big, t_vertices, t_bounds,
+                     obs_K, obs_R, obs_T, smpl)
+
+        # ---- coarse pass at the uniform stratified grid
+        steps = jnp.linspace(0.0, 1.0, D)
+        depths = near[..., None] + (far - near)[..., None] * steps  # (B, N, D)
+        col_s, den_s, idx_c, _ = self._eval_points_budgeted(
+            depths, ray_o, ray_d, vertices, ctx_target, ctx_big, tab_t2c,
+            tar_smpl, bank_args, rc.point_capacity_frac, N_full * D, smpl,
+            train, "imp_coarse_overflow")
+
+        bi = jnp.arange(B)[:, None]
+        col_c = jnp.zeros((B, N * D, 3)).at[bi, idx_c].set(
+            col_s.astype(jnp.float32), mode="drop").reshape(B, N, D, 3)
+        den_c = jnp.full((B, N * D), -80.0).at[bi, idx_c].set(
+            den_s.astype(jnp.float32), mode="drop").reshape(B, N, D)
+
+        _, _, w = jax.vmap(
+            lambda c, s, t, rd: ray_march(c, s, t, rd,
+                                          clamp_mode=rc.clamp_mode,
+                                          white_back=rc.white_back)
+        )(col_c, den_c, depths, ray_d)
+
+        rng = (self.make_rng("density")
+               if train and self.has_rng("density") else None)
+        z_fine = sample_importance(
+            depths.reshape(B * N, D),
+            jax.lax.stop_gradient(w).reshape(B * N, D),
+            Di, det=rng is None, rng=rng).reshape(B, N, Di)
+        z_fine = jax.lax.stop_gradient(z_fine)
+
+        # ---- fine pass at the PDF depths
+        col_fs, den_fs, idx_f, _ = self._eval_points_budgeted(
+            z_fine, ray_o, ray_d, vertices, ctx_target, ctx_big, tab_t2c,
+            tar_smpl, bank_args, fine_frac, N_full * Di, smpl, train,
+            "imp_fine_overflow")
+        col_f = jnp.zeros((B, N * Di, 3)).at[bi, idx_f].set(
+            col_fs.astype(jnp.float32), mode="drop").reshape(B, N, Di, 3)
+        den_f = jnp.full((B, N * Di), -80.0).at[bi, idx_f].set(
+            den_fs.astype(jnp.float32), mode="drop").reshape(B, N, Di)
+
+        # ---- unify_samples: concat + sort by depth, one combined march
+        all_d = jnp.concatenate([depths, z_fine], axis=-1)
+        order = jnp.argsort(all_d, axis=-1)
+        all_d = jnp.take_along_axis(all_d, order, axis=-1)
+        all_c = jnp.take_along_axis(
+            jnp.concatenate([col_c, col_f], axis=2), order[..., None], axis=2)
+        all_s = jnp.take_along_axis(
+            jnp.concatenate([den_c, den_f], axis=2), order, axis=2)
+
+        rgb, depth, weights = jax.vmap(
+            lambda c, s, t, rd: ray_march(c, s, t, rd,
+                                          clamp_mode=rc.clamp_mode,
+                                          white_back=rc.white_back)
+        )(all_c, all_s, all_d, ray_d)
+        acc = jnp.sum(weights, axis=-1)
+        if ray_sel is None:
+            return rgb, depth, acc
+        return self._scatter_rays_back(rgb, depth, acc, ray_sel, N_full)
+
+    def _scatter_rays_back(self, rgb, depth, acc, ray_sel, N_full):
+        """Composited compacted-ray pixels -> the full ray set; dropped
+        rays get the dense path's empty-ray values."""
+        rc = self.cfg.render
+        B = rgb.shape[0]
+        ridx, rvalid, depth_lo, depth_hi = ray_sel
+        empty_rgb = 1.0 if rc.white_back else -1.0
+        bi = jnp.arange(B)[:, None]
+        rgb_f = jnp.full((B, N_full, 3), empty_rgb).at[bi, ridx].set(
+            jnp.where(rvalid[..., None], rgb, empty_rgb), mode="drop")
+        depth_f = jnp.broadcast_to(depth_hi[:, None], (B, N_full)).at[
+            bi, ridx].set(jnp.where(rvalid, depth, depth_hi[:, None]),
+                          mode="drop")
+        acc_f = jnp.zeros((B, N_full)).at[bi, ridx].set(
+            jnp.where(rvalid, acc, 0.0), mode="drop")
+        return rgb_f, depth_f, acc_f
 
     # ------------------------------------------------------------------
     def decode_points(self,

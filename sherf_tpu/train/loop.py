@@ -185,7 +185,7 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
     stats = StatsCollector(run_dir)
 
     total_steps = tcfg.total_kimg * 1000 // tcfg.batch_size
-    report_every = max(100 // tcfg.batch_size, 1)
+    report_every = max(tcfg.report_imgs // tcfg.batch_size, 1)
     snapshot_every = max(tcfg.kimg_per_tick * tcfg.snapshot_ticks * 1000
                          // tcfg.batch_size, 1)
 

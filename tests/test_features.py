@@ -64,3 +64,53 @@ def test_positional_encoding_recurrence_matches_exact():
         b = np.asarray(positional_encoding(x, n))
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_superresolution_oracle():
+    """SR head vs the reference SuperresolutionHybrid2X on CPU with
+    imported weights (superresolution.py:94-124).  Module-level oracle:
+    the reference cannot run SR end-to-end in any SHERF config (3-channel
+    latent into a channels=32 module, triplane.py:60,156 — a shape error),
+    so EG3D's intended 32-channel latent is used here."""
+    import numpy as np
+    import torch
+    import jax
+
+    from sherf_tpu.compat import reference_runtime as rr
+    from sherf_tpu.compat.legacy_import import import_superresolution
+    from sherf_tpu.features.superresolution import SuperresolutionHybrid
+
+    rr.install_reference_modules()
+    rr.patch_torch_cpu()
+    from training import superresolution as ref_sr
+
+    torch.manual_seed(0)
+    ref = ref_sr.SuperresolutionHybrid2X(
+        channels=32, img_resolution=128, sr_num_fp16_res=0,
+        sr_antialias=True)
+    ref.eval().float()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, noise = import_superresolution(sd)
+    model = SuperresolutionHybrid(img_resolution=128, channels=32,
+                                  deep_channels=False)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 64, 64, 32).astype(np.float32)
+    rgb = rng.randn(1, 64, 64, 3).astype(np.float32)
+    ws = rng.randn(1, 5, 512).astype(np.float32)
+
+    with torch.no_grad():
+        # .copy(): the reference's skip connection is an in-place img.add_
+        # (superresolution.py:253) which would mutate the shared
+        # from_numpy buffer before our side reads it
+        out_ref = ref(torch.from_numpy(rgb.copy()).permute(0, 3, 1, 2),
+                      torch.from_numpy(x.copy()).permute(0, 3, 1, 2),
+                      torch.from_numpy(ws), noise_mode="none",
+                      force_fp32=True)
+    out = jax.jit(lambda v, r, xx, w: model.apply(
+        v, r, xx, w, noise_mode="none"))(
+        {"params": params, "noise": noise}, rgb, x, ws)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)),
+        out_ref.numpy(), atol=2e-3)

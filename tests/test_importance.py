@@ -2,6 +2,7 @@
 API-complete, reference renderer.py:483-542)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -82,6 +83,7 @@ def _setup_importance():
     return smpl, model0, model1, batch, variables
 
 
+@pytest.mark.heavy
 def test_importance_knob_is_not_silent():
     """Di>0 must run the hierarchical path: valid image that DIFFERS from
     the coarse-only render with identical params (r1 weak item: the knob
@@ -101,6 +103,7 @@ def test_importance_knob_is_not_silent():
     assert acc.min() >= -1e-5 and acc.max() <= 1.0 + 1e-5
 
 
+@pytest.mark.heavy
 def test_importance_recomposition_matches_renderer():
     """Pin the two-pass wiring: capture both _eval_points_full calls and
     recompose coarse march -> sample_importance -> unify(sort) -> march in
@@ -143,3 +146,34 @@ def test_importance_recomposition_matches_renderer():
     np.testing.assert_allclose(
         np.asarray(out["image_raw"]).reshape(B, N, 3), np.asarray(rgb),
         rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.heavy
+def test_budgeted_importance_matches_dense():
+    """The budgeted hierarchical path (prune -> compact -> decode on both
+    passes, r3: _forward_importance_budgeted) must reproduce the dense
+    full-compute importance render when the caps are generous."""
+    smpl, _, model1, batch, variables = _setup_importance()
+    cfgd = model1.cfg
+    cfgb = replace(cfgd, render=replace(cfgd.render,
+                                        point_capacity_frac=0.5))
+    _, out_sh = prepare_voxel_volume(
+        np.asarray(batch.t_vertices[0]), voxel_size=cfgd.voxel_size)
+    modelb = SHERFGenerator(cfgb, out_sh=out_sh)
+
+    dense = jax.jit(lambda v, b: model1.apply(v, b, smpl))(variables, batch)
+    (budg, mvars) = jax.jit(lambda v, b: modelb.apply(
+        v, b, smpl, mutable=["diag"]))(variables, batch)
+
+    from sherf_tpu.core.diag import overflow_report
+    overflow = overflow_report(jax.device_get(mvars.get("diag", {})))
+    assert all(v == 0 for v in overflow.values()), overflow
+    assert {"imp_coarse_overflow", "imp_fine_overflow"} <= set(overflow), \
+        overflow  # the budgeted path actually ran and sowed its counters
+
+    np.testing.assert_allclose(np.asarray(budg["image_raw"]),
+                               np.asarray(dense["image_raw"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(budg["weights_image"]),
+                               np.asarray(dense["weights_image"]),
+                               rtol=1e-4, atol=1e-4)

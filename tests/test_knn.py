@@ -131,15 +131,16 @@ def test_ray_body_mask_superset_and_tight():
     mask = np.asarray(ray_body_mask_pallas(o, d, near, far, verts, thr,
                                            interpret=True))
 
-    # brute-force segment distance oracle
+    # brute-force LINE distance oracle (the kernel prunes on the infinite
+    # line: line min <= segment min <= sample min, superset either way)
     ov = np.asarray(o)[:, None] - np.asarray(verts)[None]      # (N, V, 3)
     dn = np.asarray(d)
     dd = (dn * dn).sum(-1)[:, None]
     b = -(ov * dn[:, None]).sum(-1)                             # d.(v-o)
-    t = np.clip(b / dd, np.asarray(near)[:, None], np.asarray(far)[:, None])
-    dist = (ov ** 2).sum(-1) + 2.0 * t * (-b) + t * t * dd
-    seg_min = dist.min(axis=1)
-    np.testing.assert_array_equal(mask, seg_min < thr)
+    dist = (ov ** 2).sum(-1) - b * b / dd
+    line_min = dist.min(axis=1)
+    clear = np.abs(line_min - thr) > 1e-6  # exclude f32-order borderline
+    np.testing.assert_array_equal(mask[clear], (line_min < thr)[clear])
 
     # superset of the sample-level test at any sampling
     ts = np.asarray(near)[:, None] + (np.asarray(far) - np.asarray(near))[:, None] \

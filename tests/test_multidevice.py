@@ -34,6 +34,7 @@ def _setup_small(batch_size, H, W, D=4):
                                   sparse_caps=(1024, 512, 256))
 
 
+@pytest.mark.heavy
 def test_sharded_render_matches_single_device():
     """shard_map render over (2 data x 4 rays) == plain single-device apply.
 
@@ -60,6 +61,7 @@ def test_sharded_render_matches_single_device():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_sharded_train_step_matches_single_device():
     """One shard_map train step over (1 data x 4 rays) vs the plain jit step:
     same loss and allclose updated params (only reduction order differs —
@@ -96,6 +98,7 @@ def test_sharded_train_step_matches_single_device():
                                    rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_sharded_train_step_data_axis_is_ddp_mean():
     """With the batch split over 'data', the sharded loss is the MEAN of the
     per-shard losses — the reference's per-GPU loss + grad-all_reduce/÷N
@@ -130,6 +133,7 @@ def test_sharded_train_step_data_axis_is_ddp_mean():
         float(metrics["loss"]), per_item)
 
 
+@pytest.mark.heavy
 def test_sharded_gan_steps_match_single_device():
     """Adversarial phases under shard_map (1 data x 4 rays) == the plain jit
     GAN steps: same G/D losses and allclose updated params (r2 missing #4 —
@@ -190,6 +194,7 @@ def test_sharded_gan_steps_match_single_device():
                                    rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_sharded_gan_g_step_hlo_has_no_renderer_collectives():
     """The sharded Gmain step must stay permute-free like the recon step."""
     import re
@@ -218,6 +223,7 @@ def test_sharded_gan_g_step_hlo_has_no_renderer_collectives():
     assert permutes == 0, f"{permutes} collective-permutes leaked into Gmain"
 
 
+@pytest.mark.heavy
 def test_sharded_train_step_hlo_has_no_renderer_collectives():
     """The shard_map step's HLO must contain only the loss ray-gather and
     the gradient reductions — none of the per-batch-item collective-permutes

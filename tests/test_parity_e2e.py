@@ -129,6 +129,7 @@ def test_depth_and_weights_parity(parity):
 
 @pytest.mark.parametrize("combo", ["osg_decoder", "no_trans", "1d_only",
                                    "1d_2d", "1d_3d"])
+@pytest.mark.heavy
 def test_ablation_branch_parity(combo, tmp_path):
     """E2e parity for the NON-default fusion/decoder branches with shared
     weights (reference run_model dispatch renderer.py:405-432; decoder
@@ -152,6 +153,7 @@ def test_ablation_branch_parity(combo, tmp_path):
     assert m["weights_max_diff"] < 2e-3, f"{combo}: {m}"
 
 
+@pytest.mark.heavy
 def test_partial_transmittance_parity(tmp_path):
     """Parity in the LOW-density regime (mild sigma bias): transmittance
     stays partial along rays, exercising the marcher's cumprod blending

@@ -16,20 +16,56 @@ from sherf_tpu.train import (
 )
 
 
-def test_ssim_matches_pytorch_msssim():
+def _ssim_np_oracle(a: np.ndarray, b: np.ndarray,
+                    data_range: float = 1.0) -> np.ndarray:
+    """Independent NumPy implementation of pytorch_msssim's ssim():
+    separable 11-tap sigma-1.5 gaussian window, VALID convolution,
+    K1=0.01 / K2=0.03, mean over (C, H', W') per batch item.  Written from
+    the published algorithm so the oracle does not depend on the package
+    (which is not installed here — the import-or-skip form silently
+    skipped, r2 weak #8)."""
+    size, sigma = 11, 1.5
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2 * sigma ** 2))
+    g = (g / g.sum()).astype(np.float64)
+
+    def blur(x):  # (B, H, W, C) valid separable conv
+        x = np.apply_along_axis(
+            lambda v: np.convolve(v, g, mode="valid"), 1, x)
+        return np.apply_along_axis(
+            lambda v: np.convolve(v, g, mode="valid"), 2, x)
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mu_a, mu_b = blur(a), blur(b)
+    saa = blur(a * a) - mu_a ** 2
+    sbb = blur(b * b) - mu_b ** 2
+    sab = blur(a * b) - mu_a * mu_b
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    m = ((2 * mu_a * mu_b + c1) * (2 * sab + c2)
+         / ((mu_a ** 2 + mu_b ** 2 + c1) * (saa + sbb + c2)))
+    return m.mean(axis=(1, 2, 3))
+
+
+def test_ssim_matches_reference_formula():
+    """vs the vendored NumPy reimplementation of pytorch_msssim's ssim
+    (loss.py:159's metric); pytorch_msssim itself cross-checks when
+    installed."""
+    rng = np.random.RandomState(0)
+    a = rng.rand(2, 32, 32, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(2, 32, 32, 3).astype(np.float32) * 0.1, 0, 1)
+    ref = _ssim_np_oracle(a, b)
+    ours = np.asarray(ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, ref, atol=5e-3)
     try:
         from pytorch_msssim import ssim as ref_ssim
         import torch
     except ImportError:
-        pytest.skip("pytorch_msssim unavailable")
-    rng = np.random.RandomState(0)
-    a = rng.rand(2, 32, 32, 3).astype(np.float32)
-    b = np.clip(a + rng.randn(2, 32, 32, 3).astype(np.float32) * 0.1, 0, 1)
-    ref = ref_ssim(torch.from_numpy(a).permute(0, 3, 1, 2),
-                   torch.from_numpy(b).permute(0, 3, 1, 2),
-                   data_range=1, size_average=False).numpy()
-    ours = np.asarray(ssim(jnp.asarray(a), jnp.asarray(b)))
-    np.testing.assert_allclose(ours, ref, atol=5e-3)
+        return
+    ref_pkg = ref_ssim(torch.from_numpy(a).permute(0, 3, 1, 2),
+                       torch.from_numpy(b).permute(0, 3, 1, 2),
+                       data_range=1, size_average=False).numpy()
+    np.testing.assert_allclose(ours, ref_pkg, atol=5e-3)
 
 
 def test_ssim_identical_images_is_one():
