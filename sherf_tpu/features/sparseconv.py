@@ -259,22 +259,49 @@ def stride_conv3d_packed(feats, packed_in, shape_in, out_coords, weight,
     return conv3d_by_ids(feats, nbr, weight, inv, valid_in)
 
 
-def downsample_sites(grid_in, shape_in, cap: int):
+def downsample_sites(coords_in, valid_in, shape_in, cap: int):
     """Site set of SparseConv3d(stride 2, pad 1): every output voxel whose
     3x3x3 stride-2 window touches an occupied input voxel.
 
-    Computed as one reduce_window max over the (already built) input index
-    grid — out[o] = any(in[2o-1 .. 2o+1]) — instead of scattering the <=8
-    candidate parents per site (the scatter measured ~4ms per downsample);
-    compacted to ``cap`` static sites with the streaming pallas compaction
-    (jnp.nonzero's cumsum+scatter lowering cost ~4ms per downsample)."""
+    Input voxel v is touched by parent p iff |2p - v| <= 1 per axis, i.e.
+    p in {v//2} (v even) or {(v-1)/2, (v+1)/2} (v odd) — at most 2 per
+    axis, 8 candidates per site.  Dedupe by a scatter-WINNER round: every
+    candidate writes its list position into a dense scratch grid (last
+    writer wins, deterministically) and reads it back; the one candidate
+    per voxel that reads its own position is that voxel's unique
+    representative.  The compaction then runs over the 8*S candidate list
+    (~100x smaller than the dense-grid form it replaces — reduce_window
+    over the full index grid + multi-million-element mask compactions
+    measured ~5ms/frame; sorting the full candidate list instead lowered
+    to ~4ms of XLA sort loops).  A final sort over just the <=cap winners
+    restores ascending-flat site order — consumers address sites through
+    the index grid so outputs are order-invariant, but spatially-local
+    queries hitting ascending ids keeps the downstream row gathers
+    cache-friendly (scrambled order measured +7ms/frame)."""
     from sherf_tpu.kernels.compaction import compact_mask
     shape_out = tuple((s - 1) // 2 + 1 for s in shape_in)
-    occ_in = (grid_in > 0).reshape(shape_in)
-    occ = lax.reduce_window(occ_in, False, lax.bitwise_or, (3, 3, 3),
-                            (2, 2, 2), ((1, 1), (1, 1), (1, 1)))
-    assert occ.shape == shape_out, (occ.shape, shape_out)
-    idx, new_valid = compact_mask(occ.reshape(-1), cap)
+    size_out = shape_out[0] * shape_out[1] * shape_out[2]
+
+    cands = []
+    for sel in range(8):
+        # per axis the touched parents are {v//2, (v+1)//2} (from
+        # 2p-1 <= v <= 2p+1): equal for even v, distinct for odd v
+        delta = jnp.asarray([sel >> a & 1 for a in range(3)], jnp.int32)
+        p = (coords_in + delta) // 2
+        ok = valid_in & _inbounds(p, shape_out)
+        cands.append(jnp.where(ok, _flat(p, shape_out), size_out))
+    cand = jnp.concatenate(cands)                     # (M,) flat or sentinel
+    M = cand.shape[0]
+    pos = jnp.arange(M, dtype=jnp.int32)
+    scratch = jnp.full((size_out,), -1, jnp.int32).at[cand].set(
+        pos, mode="drop")
+    winner = (jnp.take(scratch, jnp.clip(cand, 0, size_out - 1)) == pos) \
+        & (cand < size_out)
+    n_occ = jnp.sum(winner.astype(jnp.int32))
+    slot, new_valid = compact_mask(winner, cap)
+    idx = jnp.sort(jnp.where(new_valid, cand[jnp.minimum(slot, M - 1)],
+                             size_out))
+    new_valid = idx < size_out
     idx = jnp.where(new_valid, idx, 0)
     d = idx // (shape_out[1] * shape_out[2])
     h = (idx // shape_out[2]) % shape_out[1]
@@ -282,7 +309,7 @@ def downsample_sites(grid_in, shape_in, cap: int):
     new_coords = jnp.stack([d, h, w], -1).astype(jnp.int32)
     # occupied sites beyond the cap are silently dropped by the compaction;
     # callers surface this count (must be 0 for a correctly calibrated cap)
-    overflow = jnp.maximum(jnp.sum(occ.astype(jnp.int32)) - cap, 0)
+    overflow = jnp.maximum(n_occ - cap, 0)
     return new_coords, new_valid, shape_out, overflow
 
 
@@ -692,7 +719,7 @@ class SparseDown(nn.Module):
     def __call__(self, feats, coords, grid, packed, shape, valid,
                  train: bool = False):
         new_coords, new_valid, new_shape, overflow = downsample_sites(
-            grid, shape, self.cap)
+            coords, valid, shape, self.cap)
         self.sow("diag", "site_overflow", overflow,
                  init_fn=lambda: jnp.zeros((), jnp.int32),
                  reduce_fn=jnp.maximum)

@@ -737,7 +737,10 @@ class SHERFRenderer(nn.Module):
 
     def _scatter_rays_back(self, rgb, depth, acc, ray_sel, N_full):
         """Composited compacted-ray pixels -> the full ray set; dropped
-        rays get the dense path's empty-ray values."""
+        rays get the dense path's empty-ray values.  (A single packed
+        [rgb|depth|acc] scatter was tried and measured ~7ms SLOWER than
+        the three separate scatters — the 5-wide mixed scatter defeats the
+        per-field fusions.)"""
         rc = self.cfg.render
         B = rgb.shape[0]
         ridx, rvalid, depth_lo, depth_hi = ray_sel

@@ -58,6 +58,27 @@ def global_batch_size(per_host_batch: int) -> int:
     return per_host_batch * jax.process_count()
 
 
+def coordination_barrier(name: str, timeout_ms: int = 900_000) -> None:
+    """Block until every process reaches ``name`` (coordination-service
+    gRPC barrier — no device collective involved).
+
+    The CPU Gloo collectives backend gives each new communicator a hard
+    30 s key-value rendezvous: if one process enters a collective while a
+    peer is still minutes inside a local XLA compile (common on shared
+    CPUs), the whole job dies with "Gloo context initialization failed:
+    DEADLINE_EXCEEDED".  Placing this barrier right before the first
+    execution of each collective program bounds the rendezvous skew to the
+    program-launch skew.  No-op for single-process runs.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
 def host_local_batch_to_global(batch, mesh: Mesh, specs):
     """Assemble per-host batch shards into global arrays.
 

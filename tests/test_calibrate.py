@@ -125,13 +125,13 @@ def test_sparse_site_counts_match_live_downsample():
 
     min_dhw, out_sh = prepare_voxel_volume(t_verts, voxel_size=voxel)
     coords = voxelize_coords(jnp.asarray(t_verts), min_dhw, voxel)
-    grid = build_index_grid(coords, jnp.ones(coords.shape[0], bool), out_sh)
+    valid = jnp.ones(coords.shape[0], bool)
     shape = out_sh
     for i in range(3):
         cap = counts[i] + 64  # roomy: survivor count must be exact
-        nc, nv, shape, _ = downsample_sites(grid, shape, cap)
+        nc, nv, shape, _ = downsample_sites(coords, valid, shape, cap)
         assert int(jax.device_get(nv.sum())) == counts[i], f"scale {i}"
-        grid = build_index_grid(nc, nv, shape)
+        coords, valid = nc, nv
 
     caps = calibrate_sparse_caps([t_verts], voxel, margin=1.1, round_to=256)
     assert all(c >= n for c, n in zip(caps, counts))

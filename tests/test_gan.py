@@ -1,6 +1,7 @@
 """Discriminators + adversarial losses (API-completeness components)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +12,9 @@ from sherf_tpu.train.gan import (
     g_adversarial_loss, d_loss, r1_penalty, make_gan_losses, create_d_state,
 )
 
+
+# model-level suite: excluded from the smoke tier (pytest.ini)
+pytestmark = pytest.mark.heavy
 
 def test_discriminator_shapes():
     d = Discriminator(img_resolution=64, img_channels=3, channel_max=64)

@@ -15,6 +15,9 @@ H = W = 16
 D = 6
 
 
+# model-level suite: excluded from the smoke tier (pytest.ini)
+pytestmark = pytest.mark.heavy
+
 @pytest.fixture(scope="module")
 def setup():
     smpl = synthetic_smpl(0)

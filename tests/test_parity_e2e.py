@@ -37,6 +37,9 @@ H = W = 32
 DEPTH = 8
 
 
+# model-level suite: excluded from the smoke tier (pytest.ini)
+pytestmark = pytest.mark.heavy
+
 @pytest.fixture(scope="module")
 def parity(tmp_path_factory):
     workdir = str(tmp_path_factory.mktemp("refrun"))

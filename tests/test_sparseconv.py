@@ -3,6 +3,7 @@ site-list implementation reproduces spconv semantics exactly (submanifold
 masking, stride-2 site dilation, trilinear dense readout)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -14,6 +15,9 @@ from sherf_tpu.features.sparseconv import (
     voxelize_coords, world_to_voxel_f,
 )
 
+
+# model-level suite: excluded from the smoke tier (pytest.ini)
+pytestmark = pytest.mark.heavy
 
 def _random_sites(rng, n, shape):
     # unique random voxel coords
@@ -58,7 +62,8 @@ def test_stride_conv_matches_dense_strided_conv():
     w = rng.randn(3, 3, 3, 4, 7).astype(np.float32)
 
     grid = build_index_grid(jnp.asarray(coords), jnp.ones(60, bool), shape)
-    new_coords, new_valid, new_shape, _ = downsample_sites(grid, shape, cap=256)
+    new_coords, new_valid, new_shape, _ = downsample_sites(
+        jnp.asarray(coords), jnp.ones(60, bool), shape, cap=256)
     ours = np.asarray(stride_conv3d(jnp.asarray(feats), grid, shape,
                                     new_coords, jnp.asarray(w), new_valid,
                                     jnp.ones(60, bool)))
@@ -163,7 +168,8 @@ def test_stride_conv_grad_matches_scatter_adjoint():
     feats = jnp.asarray(rng.randn(60, 4).astype(np.float32))
     w = jnp.asarray(rng.randn(3, 3, 3, 4, 7).astype(np.float32))
     grid = build_index_grid(jnp.asarray(coords), valid_in, shape)
-    new_coords, new_valid, new_shape, _ = downsample_sites(grid, shape, cap=256)
+    new_coords, new_valid, new_shape, _ = downsample_sites(
+        jnp.asarray(coords), valid_in, shape, cap=256)
     cot = jnp.asarray(rng.randn(256, 7).astype(np.float32))
     cot = cot * new_valid[:, None]
 

@@ -91,6 +91,7 @@ def test_step_lr_schedule():
     assert sched(10000) == pytest.approx(0.625e-3)
 
 
+@pytest.mark.heavy
 def test_train_step_improves_loss():
     smpl = synthetic_smpl(0)
     bp = big_pose_params()
@@ -127,6 +128,7 @@ def test_ema_update():
     np.testing.assert_allclose(np.asarray(out["w"]), 0.5)
 
 
+@pytest.mark.heavy
 def test_budgeted_gradients_match_parity_mode():
     """A/B the custom adjoints: gradients of the reconstruction loss through
     the budgeted compaction path (point_capacity_frac < 1, structured

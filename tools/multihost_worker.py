@@ -80,8 +80,8 @@ def main():
 def train_main(coordinator, n_proc, pid):
     """The real training stack across 2 processes (see module docstring)."""
     from sherf_tpu.parallel.multihost import (
-        host_local_batch_to_global, maybe_initialize_distributed,
-        replicate_from_host0,
+        coordination_barrier, host_local_batch_to_global,
+        maybe_initialize_distributed, replicate_from_host0,
     )
 
     proc, total = maybe_initialize_distributed(coordinator, n_proc, pid)
@@ -123,13 +123,21 @@ def train_main(coordinator, n_proc, pid):
         local)
     params = dict(variables)["params"]
     extra = {k: v for k, v in variables.items() if k != "params"}
+    # align processes before each first collective: local compiles skew
+    # entry by minutes, and the Gloo rendezvous only waits 30s
+    coordination_barrier("pre_replicate")
     state = replicate_from_host0(create_train_state(params, extra, tcfg), mesh)
 
     step = make_sharded_train_step(model, smpl, tcfg, mesh, donate=False)
     rng = jax.random.PRNGKey(7)
+    b = interleave_rays(local, rm)
+    gbatch = host_local_batch_to_global(b, mesh, batch_pspecs(b))
+    # AOT-compile the step locally, THEN align: the first execution opens
+    # new Gloo communicators whose rendezvous cannot absorb compile skew
+    compiled = step.lower(state, gbatch, jax.random.PRNGKey(0)).compile()
+    del compiled
+    coordination_barrier("pre_train_steps")
     for i in range(3):
-        b = interleave_rays(local, rm)
-        gbatch = host_local_batch_to_global(b, mesh, batch_pspecs(b))
         state, metrics = step(state, gbatch, jax.random.fold_in(rng, i))
         assert np.isfinite(float(metrics["loss"])), metrics
     digest = float(sum(float(np.asarray(x, np.float64).sum())
@@ -147,6 +155,7 @@ def train_main(coordinator, n_proc, pid):
                           f"mh_train_{os.environ.get('MH_RUN', 'x')}")
     tcfg2 = TrainConfig(batch_size=B_global, lr=1e-3, total_kimg=1,
                         mesh_shape=(2, 2), outdir=outdir, report_imgs=4)
+    coordination_barrier("pre_training_loop")
     training_loop(cfg, tcfg2, DataConfig(name="synthetic", resolution=H),
                   smpl, batch_source=lambda: local,
                   abort_fn=lambda: True)
@@ -157,11 +166,14 @@ def train_main(coordinator, n_proc, pid):
         assert grids, "host 0 wrote no sample grid (r2 weak #7)"
     # keep every task alive until host 0 finished its post-loop work (the
     # sample-grid render compiles a fresh local program; an early exit on
-    # the other task trips the distributed shutdown-barrier timeout)
-    from jax.experimental import multihost_utils
-
-    multihost_utils.sync_global_devices("train_main done")
+    # the other task trips the distributed shutdown-barrier timeout).
+    # gRPC barrier, NOT a device collective — the skew here is minutes.
+    coordination_barrier("train_main_done")
     print("MULTIHOST_TRAIN_OK", flush=True)
+    # hard-exit: the atexit jax.distributed shutdown runs its own device
+    # barrier whose timeout the interpreter-teardown skew keeps tripping
+    # (observed: both workers print OK, then one dies in shutdown)
+    os._exit(0)
 
 
 if __name__ == "__main__":
