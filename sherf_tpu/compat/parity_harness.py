@@ -147,19 +147,55 @@ def build_ours(G, smpl, flags: Optional[Dict] = None,
     return model, variables, cfg
 
 
-def run_ours(model, variables, batch, smpl, check_overflow: bool = True):
+def run_ours(model, variables, batch, smpl, check_overflow: bool = True,
+             ray_chunks: int = 1):
+    """Forward our side.  ``ray_chunks > 1`` renders the image in ray
+    blocks (one compiled program reused per block): rays are independent
+    through the whole pipeline, so results are bit-identical to a single
+    pass — needed for full-size PARITY mode, whose all-samples warp
+    intermediates pad out to ~26 GB in one shot (the budgeted production
+    path never materializes them)."""
     import jax
+    import jax.numpy as jnp
 
-    out, mvars = jax.jit(lambda v, b: model.apply(v, b, smpl,
-                                                  mutable=["diag"]))(
-        variables, batch)
+    if ray_chunks <= 1:
+        out, mvars = jax.jit(lambda v, b: model.apply(v, b, smpl,
+                                                      mutable=["diag"]))(
+            variables, batch)
+    else:
+        N = batch.ray_o.shape[1]
+        assert N % ray_chunks == 0, (N, ray_chunks)
+        ch = N // ray_chunks
+        fwd = jax.jit(lambda v, b: model.apply(v, b, smpl, flat_output=True,
+                                               mutable=["diag"]))
+        parts, mvars = [], {}
+        for c in range(ray_chunks):
+            sl = slice(c * ch, (c + 1) * ch)
+            bc = batch.replace(ray_o=batch.ray_o[:, sl],
+                               ray_d=batch.ray_d[:, sl],
+                               near=batch.near[:, sl],
+                               far=batch.far[:, sl],
+                               mask_at_box=batch.mask_at_box[:, sl],
+                               bkgd_msk=batch.bkgd_msk[:, sl])
+            o, mvars = fwd(variables, bc)
+            parts.append(jax.device_get(o))
+        B = batch.img.shape[0]
+        H, W = batch.img.shape[1:3]
+        out = {
+            "image_raw": np.concatenate(
+                [p["image_raw"] for p in parts], axis=1).reshape(B, H, W, 3),
+            "image_depth": np.concatenate(
+                [p["image_depth"] for p in parts], axis=1).reshape(B, H, W),
+            "weights_image": np.concatenate(
+                [p["weights_image"] for p in parts], axis=1).reshape(B, H, W),
+        }
     if check_overflow:
         from sherf_tpu.core.diag import overflow_report
 
         overflow = overflow_report(jax.device_get(mvars.get("diag", {})))
         assert all(v == 0 for v in overflow.values()), (
             f"budget overflow corrupts the parity comparison: {overflow}")
-    return jax.device_get(out)
+    return jax.device_get(out) if ray_chunks <= 1 else out
 
 
 def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 2.0) -> float:

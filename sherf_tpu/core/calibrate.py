@@ -105,8 +105,11 @@ def measure_budgets(batch, cfg) -> dict:
                                           - batch.near[b])[:, None] * steps
         pts = (batch.ray_o[b][:, None]
                + dvals[..., None] * batch.ray_d[b][:, None]).reshape(-1, 3)
+        # mirrors the renderer: coarse depth grids (D < 24) test every
+        # sample — the stride's dilation margin cannot cover their steps
+        stride = rcfg.prune_stride if D >= 24 else 1
         occ_n = int(jax.jit(lambda p, v: strided_occupancy(
-            p.reshape(-1, D, 3), v, stride=rcfg.prune_stride,
+            p.reshape(-1, D, 3), v, stride=stride,
             step_margin=rcfg.prune_step_margin).sum())(
                 pts, batch.vertices[b]))
         # exact count estimated on a 1/8 depth subsample (x8), same as the
@@ -115,8 +118,9 @@ def measure_budgets(batch, cfg) -> dict:
         exact_n = int((d2 < rcfg.prune_threshold_sq).sum()) * 8
         # ray budget mirrors the renderer's combined mask: AABB hit AND the
         # segment-level body-proximity test (renderer ray compaction)
+        thr_ray = (float(np.sqrt(rcfg.prune_threshold_sq)) + 1e-3) ** 2
         seg = jax.jit(lambda o, d, nr, fr, v: ray_body_mask_pallas(
-            o, d, nr, fr, v, rcfg.prune_threshold_sq))(
+            o, d, nr, fr, v, thr_ray))(
             batch.ray_o[b], batch.ray_d[b], batch.near[b], batch.far[b],
             batch.vertices[b])
         hit = int((np.asarray(batch.mask_at_box[b]).astype(bool)
@@ -155,8 +159,10 @@ def calibrate_budgets(batches: Iterable, cfg, margin: float = 1.2,
     assert worst["span"] + 0.5 < GRID_SIZE * CELL, \
         f"body span {worst['span']:.2f}m too large for the occupancy grid"
     # the dilation margin only has to cover samples the stride SKIPS;
-    # at stride 1 every sample is tested against the dilated grid directly
-    assert rcfg.prune_stride == 1 or worst["step_max"] <= rcfg.prune_step_margin, \
+    # at (effective) stride 1 every sample is tested against the dilated
+    # grid directly (the renderer forces stride 1 below D=24)
+    assert rcfg.prune_stride == 1 or D < 24 \
+        or worst["step_max"] <= rcfg.prune_step_margin, \
         (f"depth step {worst['step_max']:.3f}m exceeds prune_step_margin "
          f"{rcfg.prune_step_margin}; raise it, the depth resolution, or use "
          f"prune_stride=1")

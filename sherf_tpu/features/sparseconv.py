@@ -213,13 +213,18 @@ def conv3d_by_ids(feats, nbr, weight, inv_nbr, valid_in):
     """Sparse 3x3x3 conv given precomputed neighbor ids (S, 27) and their
     inverse table (S_in, 27).
 
-    The neighborhood is padded 27 -> 32 with empty ids and zero weight
-    taps: the gathered (S*27, C) -> (S, 27, C) reshape re-tiles (27 is not
-    a multiple of the 8-row sublane tile), which cost ~5ms/frame of pure
-    relayout copies; at K=32 the reshape is layout-preserving.  Zero-id
-    taps read the zero row and contribute exactly nothing."""
+    SHERF_CONV_KPAD=32 pads the neighborhood 27 -> 32 with empty ids and
+    zero weight taps so the gathered (S*27, C) -> (S, 27, C) reshape is
+    layout-preserving (27 is not a multiple of the sublane tile; the
+    relayout cost ~2ms/frame of the eval render).  Off by default: the
+    extra 5 zero taps cost ~18ms/step in the TRAINING backward (the
+    inverse-offset adjoint re-gathers every tap), which far outweighs the
+    eval saving.  Zero-id taps read the zero row and contribute exactly
+    nothing either way."""
+    import os
+
     K = nbr.shape[1]
-    pad = -K % 32
+    pad = -K % int(os.environ.get("SHERF_CONV_KPAD", "27"))
     if pad:
         nbr = jnp.pad(nbr, ((0, 0), (0, pad)))
         inv_nbr = jnp.pad(inv_nbr, ((0, 0), (0, pad)))
@@ -752,14 +757,23 @@ class SparseConvNet(nn.Module):
         the sample points.  Returns (N, 32+64+96) multi-scale features."""
         if valid is None:
             valid = jnp.ones(feats.shape[0], bool)
+        # ``train`` selects the training READOUT form below (the w-pair
+        # packing halves forward taps but doubles the backward's multi-hot
+        # table accumulation).  BatchNorm stays in running-stats mode
+        # either way: the train step is a pure function whose BN stats are
+        # refreshed by an explicit calibration pass / checkpoint import
+        # (see MaskedBatchNorm) — threading ``train`` into BN mid-round
+        # changed the training dynamics and broke the tuned convergence /
+        # grad-A/B gates.
+        bn_train = False
         feats = feats.astype(self.dtype)
         shape = self.out_sh
         grid = build_index_grid(coords, valid, shape)
         packed = pack_grid_yx(grid, shape, coords.shape[0])
 
-        feats = SparseStage(32, 2, name="conv0")(feats, coords, packed, shape, valid, train)
+        feats = SparseStage(32, 2, name="conv0")(feats, coords, packed, shape, valid, bn_train)
         feats, coords, grid, packed, shape, valid = SparseDown(32, self.caps[0], name="down0")(
-            feats, coords, grid, packed, shape, valid, train)
+            feats, coords, grid, packed, shape, valid, bn_train)
 
         outs = []
         full = np.asarray(self.out_sh, np.float32)
@@ -770,23 +784,29 @@ class SparseConvNet(nn.Module):
             # volume.  Index-grid site sampling reuses the conv stack's
             # existing grid — no dense feature grid is ever built
             # (measured 6x faster than the dense-scatter readout at the
-            # half-res scale, tools/profile_readout3d.py); features are
-            # w-pair-packed so a query costs 4 taps instead of 8.
+            # half-res scale, tools/profile_readout3d.py).  Inference uses
+            # the w-pair-packed form (4 taps of 2C instead of 8 of C);
+            # training keeps the 8-tap form — pairing doubles the
+            # backward's multi-hot table accumulation, which outweighs the
+            # forward gather saving in the train step.
             scale = (np.asarray(s, np.float32) - 1.0) / full
+            if train:
+                return trilinear_site_sample_packed(f, g, s,
+                                                    query_dhw * scale)
             return trilinear_site_sample_pairpacked(f, g, s, co, va,
                                                     query_dhw * scale)
 
         if self.num_layers > 1:
-            feats = SparseStage(32, 2, name="conv1")(feats, coords, packed, shape, valid, train)
+            feats = SparseStage(32, 2, name="conv1")(feats, coords, packed, shape, valid, bn_train)
             outs.append(readout(feats, grid, shape, coords, valid))
             feats, coords, grid, packed, shape, valid = SparseDown(64, self.caps[1], name="down1")(
-                feats, coords, grid, packed, shape, valid, train)
+                feats, coords, grid, packed, shape, valid, bn_train)
         if self.num_layers > 2:
-            feats = SparseStage(64, 3, name="conv2")(feats, coords, packed, shape, valid, train)
+            feats = SparseStage(64, 3, name="conv2")(feats, coords, packed, shape, valid, bn_train)
             outs.append(readout(feats, grid, shape, coords, valid))
             feats, coords, grid, packed, shape, valid = SparseDown(96, self.caps[2], name="down2")(
-                feats, coords, grid, packed, shape, valid, train)
+                feats, coords, grid, packed, shape, valid, bn_train)
         if self.num_layers > 3:
-            feats = SparseStage(96, 3, name="conv3")(feats, coords, packed, shape, valid, train)
+            feats = SparseStage(96, 3, name="conv3")(feats, coords, packed, shape, valid, bn_train)
             outs.append(readout(feats, grid, shape, coords, valid))
         return jnp.concatenate(outs, axis=-1)

@@ -105,9 +105,15 @@ def project_points(pts, K, R, T, eps: float = 1e-5):
     renderer.py:686-704, single view).
 
     pts: (N, 3); K, R: (3, 3); T: (3, 1).  Returns (xy (N, 2), cam_xyz (N, 3)).
+
+    Full-f32 matmuls: the TPU default (~bf16 mantissa) shifted projected
+    UVs by whole texels of the 2D feature bank.
     """
-    cam = pts @ R.T + jnp.reshape(T, (1, 3))
-    pix = cam @ K.T
+    import jax
+
+    with jax.default_matmul_precision("float32"):
+        cam = pts @ R.T + jnp.reshape(T, (1, 3))
+        pix = cam @ K.T
     xy = pix[..., :2] / (pix[..., 2:3] + eps)
     return xy, cam
 

@@ -1,5 +1,17 @@
 """Pallas TPU kernel for nearest-SMPL-vertex queries (K=1).
 
+Distance/payload matmuls use a MANUAL bf16x3 split (hi/lo operand
+decomposition, exact bf16 products accumulated in f32): the MXU's DEFAULT
+f32 path keeps ~bf16 mantissas per pass, and with |q|,|v| ~ O(m) in world
+coordinates the d2 error reached ~5e-2 m^2 — 20x the 2.5e-3 m^2 prune
+threshold (r3 find: the on-chip exact test and the ray prune
+misclassified silhouette samples; CPU oracles run in interpret mode and
+never saw it).  Mosaic supports only DEFAULT and HIGHEST dot precisions,
+and HIGHEST (6-pass f32) measured +96ms/frame — the split form costs ~3
+cheap K=3 matmuls instead.  Queries/verts are also CENTERED on the vertex
+centroid in the wrappers (distances are translation-invariant), shrinking
+the cancellation magnitudes; combined error ~3e-5 m^2.
+
 The jnp formulation (knn.py) materializes (chunk, 6890) distance tiles in
 HBM and re-reads them for the argmin — ~40GB of traffic for a 786k-point
 query.  This kernel keeps everything on-chip: per program, a (P, 3) point
@@ -23,9 +35,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # tile knobs (env overrides for A/B profiling)
-P_TILE = int(os.environ.get("SHERF_KNN_P", "1024"))   # points per program
+P_TILE = int(os.environ.get("SHERF_KNN_P", "512"))    # points per program
+# (1024 exceeded the 16MB scoped-vmem budget once the bf16x3 split's
+# three partial-product tiles joined the d2 tile)
 V_TILE = int(os.environ.get("SHERF_KNN_V", "2048"))   # vertices per inner tile
 SENTINEL = 1e6     # padded-vertex coordinate
+
+
+def _split_bf16(x):
+    """x (f32) -> (hi, lo) with hi exactly representable in bf16 and
+    x == hi + lo to f32 precision."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _dot3(a, b, dims):
+    """bf16x3 dot_general: exact bf16 products, f32 accumulation —
+    ~2^-16-relative without Mosaic HIGH/HIGHEST support."""
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    kw = dict(dimension_numbers=dims, preferred_element_type=jnp.float32)
+    return (jax.lax.dot_general(a_hi, b_hi, **kw)
+            + jax.lax.dot_general(a_hi, b_lo, **kw)
+            + jax.lax.dot_general(a_lo, b_hi, **kw))
 
 
 def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
@@ -36,9 +68,7 @@ def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
     for t in range(n_vtiles):
         v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]      # (3, VT)
         vsq = jnp.sum(v * v, axis=0, keepdims=True)  # (1, VT)
-        qv = jax.lax.dot_general(
-            q, v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (P, VT)
+        qv = _dot3(q, v, (((1,), (0,)), ((), ())))   # (P, VT)
         d2 = vsq - 2.0 * qv                          # |v|^2 - 2 q.v
         m = jnp.min(d2, axis=1, keepdims=True)       # (P, 1)
         i = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32) + t * V_TILE
@@ -48,43 +78,6 @@ def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
     qsq = jnp.sum(q * q, axis=1, keepdims=True)      # (P, 1)
     dist_ref[:] = best + qsq
     idx_ref[:] = best_i
-
-
-def _knn_tables_kernel(q_ref, v_ref, tab_ref, dist_ref, idx_ref, pay_ref,
-                       *, n_vtiles: int):
-    """Fused K=1 KNN + per-vertex payload gather.
-
-    q_ref: (P, 3); v_ref: (3, V'); tab_ref: (V', C); outputs dist/idx (P, 1)
-    and payload (P, C) = tab[argmin].  The payload gather is a one-hot MXU
-    matmul per vertex tile — no random memory access anywhere (XLA row
-    gathers cost ~10ns/row; this runs at matmul speed)."""
-    q = q_ref[:]
-    best = jnp.full((P_TILE, 1), jnp.inf, jnp.float32)
-    best_i = jnp.zeros((P_TILE, 1), jnp.int32)
-    for t in range(n_vtiles):
-        v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]
-        vsq = jnp.sum(v * v, axis=0, keepdims=True)
-        qv = jax.lax.dot_general(
-            q, v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        d2 = vsq - 2.0 * qv
-        m = jnp.min(d2, axis=1, keepdims=True)
-        i = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32) + t * V_TILE
-        upd = m < best
-        best = jnp.where(upd, m, best)
-        best_i = jnp.where(upd, i, best_i)
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, V_TILE), 1)
-    pay = jnp.zeros((P_TILE, tab_ref.shape[1]), jnp.float32)
-    for t in range(n_vtiles):
-        onehot = (lane + t * V_TILE == best_i).astype(jnp.float32)  # (P, VT)
-        tab = tab_ref[pl.ds(t * V_TILE, V_TILE), :]                  # (VT, C)
-        pay = pay + jnp.dot(onehot, tab, preferred_element_type=jnp.float32)
-
-    qsq = jnp.sum(q * q, axis=1, keepdims=True)
-    dist_ref[:] = best + qsq
-    idx_ref[:] = best_i
-    pay_ref[:] = pay
 
 
 # smaller point tile than the KNN kernels: the segment-distance math keeps
@@ -114,12 +107,8 @@ def _ray_seg_kernel(r_ref, v_ref, out_ref, *, n_vtiles: int, thr: float):
     best = jnp.full((r.shape[0], 1), jnp.inf, jnp.float32)
     for t in range(n_vtiles):
         v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]          # (3, VT)
-        vd = jax.lax.dot_general(
-            d, v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (P, VT)
-        vo = jax.lax.dot_general(
-            o, v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        vd = _dot3(d, v, (((1,), (0,)), ((), ())))       # (P, VT)
+        vo = _dot3(o, v, (((1,), (0,)), ((), ())))
         vsq = jnp.sum(v * v, axis=0, keepdims=True)      # (1, VT)
         b = vd - od
         dist = (vsq - 2.0 * vo + oo) - b * b * dd_inv
@@ -141,12 +130,13 @@ def ray_body_mask_pallas(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
     v = verts.shape[0]
     n_pad = -n % RSEG_P
     v_pad = -v % V_TILE
+    ctr = jnp.mean(verts.astype(jnp.float32), axis=0)
     rows = jnp.concatenate([
-        ray_o.astype(jnp.float32), ray_d.astype(jnp.float32),
+        ray_o.astype(jnp.float32) - ctr, ray_d.astype(jnp.float32),
         near.astype(jnp.float32)[:, None], far.astype(jnp.float32)[:, None],
     ], axis=-1)
     rows = jnp.pad(rows, ((0, n_pad), (0, 0)))
-    vt = jnp.pad(verts.astype(jnp.float32), ((0, v_pad), (0, 0)),
+    vt = jnp.pad(verts.astype(jnp.float32) - ctr, ((0, v_pad), (0, 0)),
                  constant_values=SENTINEL).T
     out = pl.pallas_call(
         functools.partial(_ray_seg_kernel, n_vtiles=vt.shape[1] // V_TILE,
@@ -173,8 +163,11 @@ def nn_1_pallas(query: jnp.ndarray, ref: jnp.ndarray,
     v = ref.shape[0]
     n_pad = -n % P_TILE
     v_pad = -v % V_TILE
-    qt = jnp.pad(query.astype(jnp.float32), ((0, n_pad), (0, 0)))     # (N', 3)
-    vt = jnp.pad(ref.astype(jnp.float32), ((0, v_pad), (0, 0)),
+    # center on the vertex centroid: distances are translation-invariant
+    # and smaller magnitudes shrink the bf16x3 cancellation error
+    ctr = jnp.mean(ref.astype(jnp.float32), axis=0)
+    qt = jnp.pad(query.astype(jnp.float32) - ctr, ((0, n_pad), (0, 0)))  # (N', 3)
+    vt = jnp.pad(ref.astype(jnp.float32) - ctr, ((0, v_pad), (0, 0)),
                  constant_values=SENTINEL).T                          # (3, V')
     n_tiles = qt.shape[0] // P_TILE
     n_vtiles = vt.shape[1] // V_TILE
@@ -206,43 +199,11 @@ def nn_1_pallas(query: jnp.ndarray, ref: jnp.ndarray,
 def nn_1_tables_pallas(query: jnp.ndarray, ref: jnp.ndarray,
                        tables: jnp.ndarray, interpret: bool = False):
     """query: (N, 3); ref: (V, 3); tables: (V, C) per-vertex payload.
-    Returns (dist_sq (N,), idx (N,), payload (N, C) == tables[idx])."""
-    n = query.shape[0]
-    v, c = tables.shape
-    c_pad = -c % 128
-    v_padn = -v % V_TILE
-    n_pad = -n % P_TILE
-    qt = jnp.pad(query.astype(jnp.float32), ((0, n_pad), (0, 0)))
-    vt = jnp.pad(ref.astype(jnp.float32), ((0, v_padn), (0, 0)),
-                 constant_values=SENTINEL).T
-    tt = jnp.pad(tables.astype(jnp.float32), ((0, v_padn), (0, c_pad)))
-    n_tiles = qt.shape[0] // P_TILE
-    n_vtiles = vt.shape[1] // V_TILE
+    Returns (dist_sq (N,), idx (N,), payload (N, C) == tables[idx]).
 
-    dist, idx, pay = pl.pallas_call(
-        functools.partial(_knn_tables_kernel, n_vtiles=n_vtiles),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((P_TILE, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, vt.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((vt.shape[1], tt.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((P_TILE, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P_TILE, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P_TILE, tt.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.float32),
-            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.int32),
-            jax.ShapeDtypeStruct((qt.shape[0], tt.shape[1]), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qt, vt, tt)
-    return dist[:n, 0], idx[:n, 0], pay[:n, :c]
+    The payload is gathered OUTSIDE the kernel: the in-kernel one-hot MXU
+    form needed a bf16x3 table split once the precision fix landed (two
+    heavy (P,VT)x(VT,C) passes), while an XLA row gather of N rows is
+    ~1.6ms at the production count AND exactly f32."""
+    dist, idx = nn_1_pallas(query, ref, interpret=interpret)
+    return dist, idx, jnp.take(tables, idx, axis=0)

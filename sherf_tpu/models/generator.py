@@ -99,7 +99,9 @@ class SHERFGenerator(nn.Module):
         # observation verts -> SMPL frame -> canonical big-pose space.  The
         # KNN inside the reference warp is the identity here (query == ref).
         smpl_obs = jnp.einsum("bvc,bcd->bvd",
-                              batch.obs_vertices - ctx_obs.Th[:, None], ctx_obs.R)
+                              batch.obs_vertices - ctx_obs.Th[:, None],
+                              ctx_obs.R,
+                              precision=jax.lax.Precision.HIGHEST)
         vid = jnp.tile(jnp.arange(smpl_obs.shape[1])[None], (B, 1))
         warped = jax.vmap(
             lambda co, cb, v, qq: deform_target2c(smpl, co, cb, v, qq)

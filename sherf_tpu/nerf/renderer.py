@@ -74,6 +74,14 @@ def sample_from_planes(planes: jnp.ndarray, pts_norm: jnp.ndarray) -> jnp.ndarra
     ])
 
 
+def _geinsum(subscripts, *operands):
+    """Geometry einsum at full f32 matmul precision (the TPU default keeps
+    ~bf16 mantissas — ~mm-cm of world-coordinate error on rigid
+    transforms, poisoning every downstream feature lookup)."""
+    return jnp.einsum(subscripts, *operands,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _compact_indices(mask: jnp.ndarray, cap: int):
     """Stable compaction: indices of the first ``cap`` True entries.
 
@@ -212,7 +220,7 @@ class SHERFRenderer(nn.Module):
 
         pts = ray_o[:, :, None] + depths[..., None] * ray_d[:, :, None]
         pts = pts.reshape(B, N * D, 3)
-        tar_smpl = jnp.einsum("bvc,bcd->bvd",
+        tar_smpl = _geinsum("bvc,bcd->bvd",
                               vertices - ctx_target.Th[:, None], ctx_target.R)
 
         # ---- prune + compaction + blend-weight KNN
@@ -224,7 +232,7 @@ class SHERFRenderer(nn.Module):
             radius = float(np.sqrt(rc.prune_threshold_sq))
             if rc.prune_mode == "capsule":
                 # pure-compute capsule test in the SMPL frame (zero gathers)
-                q_all = jnp.einsum("bnc,bcd->bnd",
+                q_all = _geinsum("bnc,bcd->bnd",
                                    pts - ctx_target.Th[:, None], ctx_target.R)
                 occ = jax.vmap(
                     lambda qq, vv, jj: prune_mask(qq, vv, jj, smpl, radius)
@@ -232,10 +240,17 @@ class SHERFRenderer(nn.Module):
             else:
                 # dilated occupancy grid in WORLD coordinates (global R is a
                 # rotation, so distances match the SMPL-frame test); python
-                # loop over B — vmapped gathers loop-ify (see setup note)
+                # loop over B — vmapped gathers loop-ify (see setup note).
+                # The depth-stride trick is only sound when the per-ray step
+                # stays within prune_step_margin — guaranteed statically for
+                # fine grids (calibrate_budgets asserts the real bound);
+                # coarse grids (D < 24: steps can reach ~1m through a body
+                # AABB) silently dropped exact-surviving samples, so they
+                # test every sample.
+                stride = rc.prune_stride if D >= 24 else 1
                 occ = jnp.stack([
                     strided_occupancy(pts[b].reshape(N, D, 3), vertices[b],
-                                      radius=radius, stride=rc.prune_stride,
+                                      radius=radius, stride=stride,
                                       step_margin=rc.prune_step_margin)
                     for b in range(B)])
             # capacity is defined on the FULL candidate set so that ray
@@ -268,9 +283,9 @@ class SHERFRenderer(nn.Module):
             step_s = steps[gidx % D]
             depth_s = near_s + (far_s - near_s) * step_s
             pts_s = o_s + depth_s[..., None] * dirs_s
-            q_s = jnp.einsum("bnc,bcd->bnd",
+            q_s = _geinsum("bnc,bcd->bnd",
                              pts_s - ctx_target.Th[:, None], ctx_target.R)
-            qd_s = jnp.einsum("bnc,bcd->bnd", dirs_s, ctx_target.R)
+            qd_s = _geinsum("bnc,bcd->bnd", dirs_s, ctx_target.R)
             tab_t2c = jax.vmap(
                 lambda ct, cb: target2c_tables(smpl, ct, cb)
             )(ctx_target, ctx_big)
@@ -325,11 +340,11 @@ class SHERFRenderer(nn.Module):
                 cap = cap2
         else:
             # parity mode: exact full KNN, mask-only (no dropped compute)
-            q = jnp.einsum("bnc,bcd->bnd",
+            q = _geinsum("bnc,bcd->bnd",
                            pts - ctx_target.Th[:, None], ctx_target.R)
             dirs = jnp.broadcast_to(ray_d[:, :, None],
                                     (B, N, D, 3)).reshape(B, M, 3)
-            qd = jnp.einsum("bnc,bcd->bnd", dirs, ctx_target.R)
+            qd = _geinsum("bnc,bcd->bnd", dirs, ctx_target.R)
             tab_t2c = jax.vmap(
                 lambda ct, cb: target2c_tables(smpl, ct, cb)
             )(ctx_target, ctx_big)
@@ -349,7 +364,7 @@ class SHERFRenderer(nn.Module):
         out = self.decode_points(
             planes, obs_img, obs_feat, vol_feats, vol_coords, min_dhw,
             can, can_dir, ctx_obs, ctx_big, t_vertices, t_bounds,
-            obs_K, obs_R, obs_T, smpl)
+            obs_K, obs_R, obs_T, smpl, train=train)
         rgb_pts = out["rgb"]                          # (B, cap, 3)
         sigma_pts = out["sigma"][..., 0]              # (B, cap)
 
@@ -411,9 +426,15 @@ class SHERFRenderer(nn.Module):
         rc = self.cfg.render
         B, N = ray_o.shape[:2]
         ray_mask = ray_mask.reshape(B, -1).astype(bool)
+        # +1mm of slack on the ray-level radius: the kernel's line-distance
+        # expression and the per-sample KNN distance round differently in
+        # f32, and a borderline ray (line_min ~ threshold) must never be
+        # dropped while one of its samples passes the exact test (measured:
+        # ~30 silhouette pixels flipped at 512^2 without the slack)
+        thr_ray = (float(np.sqrt(rc.prune_threshold_sq)) + 1e-3) ** 2
         ray_mask = ray_mask & jnp.stack([
             ray_body_mask_pallas(ray_o[b], ray_d[b], near[b], far[b],
-                                 vertices[b], rc.prune_threshold_sq)
+                                 vertices[b], thr_ray)
             for b in range(B)])
         depth_lo = jnp.min(near, axis=1)           # (B,) dense-path clip
         depth_hi = jnp.max(far, axis=1)
@@ -450,9 +471,9 @@ class SHERFRenderer(nn.Module):
         pts/dirs: (B, M, 3) world-space sample positions / ray directions.
         """
         rc = self.cfg.render
-        q = jnp.einsum("bnc,bcd->bnd",
+        q = _geinsum("bnc,bcd->bnd",
                        pts - ctx_target.Th[:, None], ctx_target.R)
-        qd = jnp.einsum("bnc,bcd->bnd", dirs, ctx_target.R)
+        qd = _geinsum("bnc,bcd->bnd", dirs, ctx_target.R)
         d2, vid, pay = jax.vmap(nn_1_tables)(q, tar_smpl, tab_t2c)
         mask = d2 < rc.prune_threshold_sq
         can, can_dir = jax.vmap(
@@ -462,7 +483,7 @@ class SHERFRenderer(nn.Module):
         out = self.decode_points(
             planes, obs_img, obs_feat, vol_feats, vol_coords, min_dhw,
             can, can_dir, ctx_obs, ctx_big, t_vertices, t_bounds,
-            obs_K, obs_R, obs_T, smpl)
+            obs_K, obs_R, obs_T, smpl, train=train)
         rgb = out["rgb"]
         sigma = out["sigma"][..., 0]
         if train and rc.density_noise > 0:
@@ -511,9 +532,9 @@ class SHERFRenderer(nn.Module):
         packed = jnp.concatenate([pts, dirs], axis=-1)       # (B, M, 6)
         rows = jnp.take_along_axis(packed, gidx[..., None], axis=1)
         pts_s, dirs_s = rows[..., 0:3], rows[..., 3:6]
-        q_s = jnp.einsum("bnc,bcd->bnd",
+        q_s = _geinsum("bnc,bcd->bnd",
                          pts_s - ctx_target.Th[:, None], ctx_target.R)
-        qd_s = jnp.einsum("bnc,bcd->bnd", dirs_s, ctx_target.R)
+        qd_s = _geinsum("bnc,bcd->bnd", dirs_s, ctx_target.R)
         d2_s, _, pay_t2c = jax.vmap(nn_1_tables)(q_s, tar_smpl, tab_t2c)
         exact_s = valid & (d2_s < rc.prune_threshold_sq)
 
@@ -560,7 +581,7 @@ class SHERFRenderer(nn.Module):
         if vol_feats is not None:
             vol_feats = vol_feats.astype(cdt)
 
-        tar_smpl = jnp.einsum("bvc,bcd->bvd",
+        tar_smpl = _geinsum("bvc,bcd->bvd",
                               vertices - ctx_target.Th[:, None], ctx_target.R)
         tab_t2c = jax.vmap(
             lambda ct, cb: target2c_tables(smpl, ct, cb)
@@ -669,7 +690,7 @@ class SHERFRenderer(nn.Module):
             ray_o, ray_d, near, far, ray_sel, N = self._compact_rays(
                 ray_o, ray_d, near, far, ray_mask, vertices)
 
-        tar_smpl = jnp.einsum("bvc,bcd->bvd",
+        tar_smpl = _geinsum("bvc,bcd->bvd",
                               vertices - ctx_target.Th[:, None], ctx_target.R)
         tab_t2c = jax.vmap(
             lambda ct, cb: target2c_tables(smpl, ct, cb)
@@ -768,7 +789,8 @@ class SHERFRenderer(nn.Module):
                       ctx_obs: PoseContext, ctx_big: PoseContext,
                       t_vertices: jnp.ndarray, t_bounds: jnp.ndarray,
                       obs_K: jnp.ndarray, obs_R: jnp.ndarray,
-                      obs_T: jnp.ndarray, smpl: SMPLModel):
+                      obs_T: jnp.ndarray, smpl: SMPLModel,
+                      train: bool = False):
         """Feature bank lookup + fusion + decoder at canonical-space points
         (reference run_model, renderer.py:400-437).  Shared by the ray-path
         ``__call__`` and by direct density-field queries (shape export,
@@ -809,7 +831,8 @@ class SHERFRenderer(nn.Module):
                 lambda c, m: world_to_voxel_f(c, m, cfg.voxel_size)
             )(can, min_dhw)
             f3 = jnp.stack([
-                self.encoder_3d(vol_feats[b], vol_coords[b], qdhw[b])
+                self.encoder_3d(vol_feats[b], vol_coords[b], qdhw[b],
+                                train=train)
                 for b in range(B)])                 # (B, cap, 192)
             p3d = self.conv1d_projection(f3)  # (B, cap, 96)
         else:

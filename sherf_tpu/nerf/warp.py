@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 from flax import struct
+import jax
 import jax.numpy as jnp
 
 from sherf_tpu.core.types import SMPLPose
@@ -36,6 +37,25 @@ class PoseContext:
     joints: jnp.ndarray        # (24, 3) posed joints (SMPL frame)
 
 
+def _f32_matmuls(fn):
+    """Run the wrapped geometry function with full-f32 matmuls.
+
+    TPU XLA's DEFAULT f32 matmul precision keeps ~bf16 mantissas per pass;
+    on the LBS blend (bw @ A) and rigid-transform einsums that is ~mm-cm of
+    world-coordinate error feeding every downstream feature lookup (r3
+    find: full-size parity vs the f32 torch reference capped at ~50 dB).
+    These ops are (N,24)x(24,16)-sized — full precision costs nothing
+    measurable."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+    return wrapped
+
+
+@_f32_matmuls
 def make_pose_context(smpl: SMPLModel, pose: SMPLPose) -> PoseContext:
     poses = pose.poses.reshape(-1)
     shapes = pose.shapes.reshape(-1)
@@ -85,6 +105,7 @@ def _blend_A(weights_table: jnp.ndarray, vid: jnp.ndarray,
     return A_pt, bw
 
 
+@_f32_matmuls
 def target2c_tables(smpl: SMPLModel, ctx_pose: PoseContext,
                     ctx_big: PoseContext) -> jnp.ndarray:
     """Per-vertex payload consumed by :func:`deform_target2c_from_tables`:
@@ -95,6 +116,7 @@ def target2c_tables(smpl: SMPLModel, ctx_pose: PoseContext,
         ctx_big.pose_offsets], axis=-1)
 
 
+@_f32_matmuls
 def c2source_tables(smpl: SMPLModel, ctx_src: PoseContext,
                     ctx_big: PoseContext) -> jnp.ndarray:
     """Payload for :func:`deform_c2source_from_tables`:
@@ -104,6 +126,7 @@ def c2source_tables(smpl: SMPLModel, ctx_src: PoseContext,
         ctx_src.pose_offsets], axis=-1)
 
 
+@_f32_matmuls
 def deform_target2c_from_tables(ctx_pose: PoseContext, ctx_big: PoseContext,
                                 payload: jnp.ndarray, q_pts: jnp.ndarray,
                                 q_dirs: Optional[jnp.ndarray] = None):
@@ -132,6 +155,7 @@ def deform_target2c_from_tables(ctx_pose: PoseContext, ctx_big: PoseContext,
     return can
 
 
+@_f32_matmuls
 def deform_target2c(smpl: SMPLModel, ctx_pose: PoseContext, ctx_big: PoseContext,
                     vid: jnp.ndarray, q_pts: jnp.ndarray,
                     q_dirs: Optional[jnp.ndarray] = None):
@@ -146,6 +170,7 @@ def deform_target2c(smpl: SMPLModel, ctx_pose: PoseContext, ctx_big: PoseContext
                                        q_pts, q_dirs)
 
 
+@_f32_matmuls
 def deform_c2source_from_tables(ctx_src: PoseContext, ctx_big: PoseContext,
                                 payload: jnp.ndarray, q_pts: jnp.ndarray,
                                 weights_correction: Optional[jnp.ndarray] = None):
@@ -176,6 +201,7 @@ def deform_c2source_from_tables(ctx_src: PoseContext, ctx_big: PoseContext,
     return smpl_src, world_src, bw
 
 
+@_f32_matmuls
 def deform_c2source(smpl: SMPLModel, ctx_src: PoseContext, ctx_big: PoseContext,
                     vid: jnp.ndarray, q_pts: jnp.ndarray,
                     weights_correction: Optional[jnp.ndarray] = None):

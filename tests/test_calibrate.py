@@ -93,12 +93,27 @@ def test_calibrate_worst_over_batches(scene):
 def test_calibrate_rejects_oversized_step():
     smpl = synthetic_smpl(0)
     batch = make_synthetic_batch(smpl, batch_size=1, H=16, W=16, seed=0)
-    # 2 samples/ray makes the depth step span the whole near-far range,
-    # far beyond any sane prune_step_margin
-    cfg = ModelConfig(render=RenderConfig(depth_resolution=2,
+    # at D >= 24 the stride trick is active, so an undersized dilation
+    # margin must be rejected (skipped samples would lose coverage)
+    cfg = ModelConfig(render=RenderConfig(depth_resolution=24,
+                                          prune_step_margin=1e-3,
                                           density_noise=0.0))
     with pytest.raises(AssertionError, match="prune_step_margin"):
         calibrate_budgets([batch], cfg)
+
+
+def test_calibrate_coarse_grid_uses_stride_one():
+    """Below D=24 the renderer (and measure_budgets, which must mirror it)
+    falls back to testing every sample: the stride's dilation margin
+    cannot cover multi-decimeter depth steps, and the old behavior
+    silently dropped exact-surviving samples (r3 find: budgeted renders
+    diverged from parity mode by ~4e-2 at coarse depth grids)."""
+    smpl = synthetic_smpl(0)
+    batch = make_synthetic_batch(smpl, batch_size=1, H=16, W=16, seed=0)
+    cfg = ModelConfig(render=RenderConfig(depth_resolution=4,
+                                          density_noise=0.0))
+    fitted, worst = calibrate_budgets([batch], cfg)  # must not raise
+    assert worst["voxel"] > 0
 
 
 def test_sparse_site_counts_match_live_downsample():

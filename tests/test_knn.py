@@ -65,12 +65,15 @@ def test_nn_1_tables_matches_gather():
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_array_equal(np.asarray(pay), pay_ref)
 
-    # the pallas kernel itself, in interpreter mode
+    # the pallas kernel itself, in interpreter mode.  Its distance contract
+    # is the bf16x3 split form (the TPU MXU offers no native f32 dots in
+    # Mosaic): |error| <~ 3*|q||v|*2^-17 — ~1e-4 here, ~3e-5 on centered
+    # body coordinates, far inside the 2.5e-3 prune-threshold band.
     d2, i2, pay2 = nn_1_tables_pallas(q, v, tab, interpret=True)
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), rtol=2e-5,
-                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), rtol=2e-4,
+                               atol=3e-4)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
-    np.testing.assert_allclose(np.asarray(pay2), pay_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pay2), pay_ref, atol=1e-5)
 
 
 def test_payload_warps_match_vid_warps():

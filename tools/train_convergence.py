@@ -20,10 +20,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sherf_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp  # noqa: E402
 
 
-def main(steps=300, H=256, D=24, lr=2.5e-3, eval_every=25):
+def main(steps=300, H=256, D=48, lr=2.5e-3, eval_every=25):
     import dataclasses
 
     from sherf_tpu.core.calibrate import calibrate_budgets
