@@ -44,9 +44,12 @@ def test_measure_budgets_counts(scene):
     aabb = np.asarray(batch.mask_at_box[0]).astype(bool)
     # ray budget = AABB hit AND segment-level body proximity (mirrors the
     # renderer's combined ray compaction mask)
+    # same +1mm ray-radius slack as the renderer/measure_budgets (borderline
+    # rays must never be dropped while one of their samples survives)
+    thr_ray = (np.sqrt(cfg.render.prune_threshold_sq) + 1e-3) ** 2
     seg = np.asarray(ray_body_mask_pallas(
         batch.ray_o[0], batch.ray_d[0], batch.near[0], batch.far[0],
-        batch.vertices[0], cfg.render.prune_threshold_sq))
+        batch.vertices[0], thr_ray))
     assert m["rays"] == int((aabb & seg).sum())
     assert m["rays"] <= int(aabb.sum())
     M = H * W * D
