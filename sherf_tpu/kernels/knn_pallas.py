@@ -1,16 +1,17 @@
 """Pallas TPU kernel for nearest-SMPL-vertex queries (K=1).
 
-Distance/payload matmuls use a MANUAL bf16x3 split (hi/lo operand
-decomposition, exact bf16 products accumulated in f32): the MXU's DEFAULT
-f32 path keeps ~bf16 mantissas per pass, and with |q|,|v| ~ O(m) in world
-coordinates the d2 error reached ~5e-2 m^2 — 20x the 2.5e-3 m^2 prune
-threshold (r3 find: the on-chip exact test and the ray prune
-misclassified silhouette samples; CPU oracles run in interpret mode and
-never saw it).  Mosaic supports only DEFAULT and HIGHEST dot precisions,
-and HIGHEST (6-pass f32) measured +96ms/frame — the split form costs ~3
-cheap K=3 matmuls instead.  Queries/verts are also CENTERED on the vertex
-centroid in the wrappers (distances are translation-invariant), shrinking
-the cancellation magnitudes; combined error ~3e-5 m^2.
+Distances are built in EXACT elementwise form — per-coordinate f32
+differences squared and summed on the VPU, no matmul expansion.  The
+matmul form (vsq - 2 q.v + qsq) at the MXU's DEFAULT f32 precision keeps
+~bf16 mantissas per pass: with |q|,|v| ~ O(m) in world coordinates the d2
+error reached ~5e-2 m^2 — 20x the 2.5e-3 m^2 prune threshold (r3 find:
+the on-chip exact test and the ray prune misclassified silhouette
+samples; CPU oracles run in interpret mode and never saw it).  Mosaic
+supports only DEFAULT and HIGHEST dot precisions; HIGHEST (6-pass f32)
+measured +96ms/frame and a manual bf16x3 split +31ms — the elementwise
+form needs no precision machinery at all.  Inputs are still CENTERED on
+the vertex centroid in the wrappers (cheap, and keeps intermediate
+magnitudes small).
 
 The jnp formulation (knn.py) materializes (chunk, 6890) distance tiles in
 HBM and re-reads them for the argmin — ~40GB of traffic for a 786k-point
@@ -42,24 +43,6 @@ V_TILE = int(os.environ.get("SHERF_KNN_V", "2048"))   # vertices per inner tile
 SENTINEL = 1e6     # padded-vertex coordinate
 
 
-def _split_bf16(x):
-    """x (f32) -> (hi, lo) with hi exactly representable in bf16 and
-    x == hi + lo to f32 precision."""
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    return hi, x - hi
-
-
-def _dot3(a, b, dims):
-    """bf16x3 dot_general: exact bf16 products, f32 accumulation —
-    ~2^-16-relative without Mosaic HIGH/HIGHEST support."""
-    a_hi, a_lo = _split_bf16(a)
-    b_hi, b_lo = _split_bf16(b)
-    kw = dict(dimension_numbers=dims, preferred_element_type=jnp.float32)
-    return (jax.lax.dot_general(a_hi, b_hi, **kw)
-            + jax.lax.dot_general(a_hi, b_lo, **kw)
-            + jax.lax.dot_general(a_lo, b_hi, **kw))
-
-
 def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
     """q_ref: (P, 3); v_ref: (3, V_pad); dist_ref/idx_ref: (P, 1)."""
     q = q_ref[:]                                     # (P, 3)
@@ -67,16 +50,20 @@ def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
     best_i = jnp.zeros((P_TILE, 1), jnp.int32)
     for t in range(n_vtiles):
         v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]      # (3, VT)
-        vsq = jnp.sum(v * v, axis=0, keepdims=True)  # (1, VT)
-        qv = _dot3(q, v, (((1,), (0,)), ((), ())))   # (P, VT)
-        d2 = vsq - 2.0 * qv                          # |v|^2 - 2 q.v
+        # exact elementwise difference form: |q - v|^2 built from true
+        # f32 subtractions — no cancellation of large |q|^2-ish terms, so
+        # no MXU precision concerns (the matmul expansion at DEFAULT MXU
+        # precision erred ~5e-2 m^2; bf16x3 splits cost ~3 extra (P, VT)
+        # passes for ~the same VPU traffic as this form)
+        d2 = jnp.square(q[:, 0:1] - v[0:1, :])
+        d2 = d2 + jnp.square(q[:, 1:2] - v[1:2, :])
+        d2 = d2 + jnp.square(q[:, 2:3] - v[2:3, :])
         m = jnp.min(d2, axis=1, keepdims=True)       # (P, 1)
         i = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32) + t * V_TILE
         upd = m < best
         best = jnp.where(upd, m, best)
         best_i = jnp.where(upd, i, best_i)
-    qsq = jnp.sum(q * q, axis=1, keepdims=True)      # (P, 1)
-    dist_ref[:] = best + qsq
+    dist_ref[:] = best
     idx_ref[:] = best_i
 
 
@@ -102,16 +89,18 @@ def _ray_seg_kernel(r_ref, v_ref, out_ref, *, n_vtiles: int, thr: float):
     r = r_ref[:]
     o, d = r[:, 0:3], r[:, 3:6]
     dd_inv = 1.0 / jnp.maximum(jnp.sum(d * d, axis=1, keepdims=True), 1e-12)
-    od = jnp.sum(o * d, axis=1, keepdims=True)
-    oo = jnp.sum(o * o, axis=1, keepdims=True)
     best = jnp.full((r.shape[0], 1), jnp.inf, jnp.float32)
     for t in range(n_vtiles):
         v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]          # (3, VT)
-        vd = _dot3(d, v, (((1,), (0,)), ((), ())))       # (P, VT)
-        vo = _dot3(o, v, (((1,), (0,)), ((), ())))
-        vsq = jnp.sum(v * v, axis=0, keepdims=True)      # (1, VT)
-        b = vd - od
-        dist = (vsq - 2.0 * vo + oo) - b * b * dd_inv
+        # exact elementwise form: a = |v-o|^2 and b = d.(v-o) built from
+        # true f32 per-coordinate differences (the matmul expansion at
+        # DEFAULT MXU precision erred ~5e-2 m^2 and dropped real rays)
+        w0 = v[0:1, :] - o[:, 0:1]
+        w1 = v[1:2, :] - o[:, 1:2]
+        w2 = v[2:3, :] - o[:, 2:3]
+        a = jnp.square(w0) + jnp.square(w1) + jnp.square(w2)
+        b = d[:, 0:1] * w0 + d[:, 1:2] * w1 + d[:, 2:3] * w2
+        dist = a - b * b * dd_inv
         best = jnp.minimum(best, jnp.min(dist, axis=1, keepdims=True))
     out_ref[:] = (best < thr).astype(jnp.int32)
 
