@@ -34,9 +34,32 @@ def _conv_w(x) -> jnp.ndarray:
 
 def load_reference_pickle(path: str) -> Dict[str, Dict[str, np.ndarray]]:
     """Load a reference snapshot .pkl and return {'G_ema': state_dict, ...}
-    as plain numpy mappings.  Requires torch (CPU) for tensor unpickling."""
+    as plain numpy mappings.  Requires torch (CPU) for tensor unpickling.
+
+    Released ``SHERF_*.pkl`` snapshots are PERSISTENCE pickles
+    (reference torch_utils/persistence.py:37-134, consumed via
+    legacy.py:24-39): unpickling resolves
+    ``torch_utils.persistence._reconstruct_persistent_obj`` by module path
+    and exec's the embedded module sources, whose top-level imports
+    (``training.*``, ``dnnlib``, spconv, pytorch3d, torchvision) must be
+    importable, and the reference's hard-coded ``.cuda()`` pins must be
+    neutralized on a CPU host.  Install that environment BEFORE touching
+    the stream; a bare ``pickle.load`` dies on the first persistent object.
+    """
     import pickle
 
+    try:
+        # reference tree + pure-torch stand-ins for the CUDA-only deps
+        from sherf_tpu.compat import reference_runtime as rr
+
+        rr.install_reference_modules()
+        rr.patch_torch_cpu()
+    except Exception:
+        # reference tree / torch unavailable: plain state_dict pickles
+        # (our own exports) still load below; a persistence pickle will
+        # fail with the unpatched ModuleNotFoundError, which is the
+        # honest signal that the reference sources are required
+        pass
     with open(path, "rb") as f:
         data = pickle.load(f)
     out = {}

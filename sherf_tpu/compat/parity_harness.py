@@ -168,7 +168,7 @@ def run_ours(model, variables, batch, smpl, check_overflow: bool = True,
         ch = N // ray_chunks
         fwd = jax.jit(lambda v, b: model.apply(v, b, smpl, flat_output=True,
                                                mutable=["diag"]))
-        parts, mvars = [], {}
+        parts, mvars, chunk_diags = [], {}, []
         for c in range(ray_chunks):
             sl = slice(c * ch, (c + 1) * ch)
             bc = batch.replace(ray_o=batch.ray_o[:, sl],
@@ -178,7 +178,12 @@ def run_ours(model, variables, batch, smpl, check_overflow: bool = True,
                                mask_at_box=batch.mask_at_box[:, sl],
                                bkgd_msk=batch.bkgd_msk[:, sl])
             o, mvars = fwd(variables, bc)
+            chunk_diags.append(jax.device_get(mvars.get("diag", {})))
             parts.append(jax.device_get(o))
+        # max-accumulate the per-chunk overflow counters so truncation in
+        # ANY chunk trips the assertion below (not just the final chunk's)
+        mvars = {"diag": jax.tree.map(lambda *xs: np.max(np.stack(xs), 0),
+                                      *chunk_diags)}
         B = batch.img.shape[0]
         H, W = batch.img.shape[1:3]
         out = {

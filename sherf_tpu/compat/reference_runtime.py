@@ -146,6 +146,12 @@ def _make_fake_torchvision():
 
     tv = types.ModuleType("torchvision")
     models = types.ModuleType("torchvision.models")
+    # picklable by class path (see the fake-spconv note)
+    for _cls in (BasicBlock, ResNet18):
+        _cls.__module__ = "torchvision.models"
+        _cls.__qualname__ = _cls.__name__
+    models.BasicBlock = BasicBlock
+    models.ResNet18 = ResNet18
     models.resnet18 = resnet18
     tv.models = models
     return {"torchvision": tv, "torchvision.models": models}
@@ -333,6 +339,15 @@ def _make_fake_spconv():
             return x
 
     mod = types.ModuleType("spconv.pytorch")
+    # pickle resolves classes by (__module__, __qualname__): give the fakes
+    # the identities the REAL spconv classes ship with, so a snapshot of a
+    # model built on the fakes round-trips exactly like a released
+    # checkpoint built on real spconv (persistence pickles the library
+    # layers by class path, not by source)
+    for _cls in (SparseConvTensor, SubMConv3d, SparseConv3d,
+                 SparseSequential):
+        _cls.__module__ = "spconv.pytorch"
+        _cls.__qualname__ = _cls.__name__
     mod.SparseConvTensor = SparseConvTensor
     mod.SubMConv3d = SubMConv3d
     mod.SparseConv3d = SparseConv3d

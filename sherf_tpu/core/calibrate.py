@@ -176,4 +176,13 @@ def calibrate_budgets(batches: Iterable, cfg, margin: float = 1.2,
         point_capacity_frac=caps["voxel"] / M,
         exact_capacity_frac=caps["exact"] / M,
     )
+    if rcfg.depth_resolution_importance > 0:
+        # The fine pass samples PDF-concentrated depths INSIDE occupied
+        # space, so the uniform grid's occupancy-survivor fraction
+        # (point_capacity_frac, the old default) undersizes it.  Size it
+        # so the budget covers EVERY fine sample of every budgeted ray
+        # (cap = rays_cap * Di): the occupancy prune only removes samples,
+        # so this bound cannot overflow.
+        fitted = dataclasses.replace(
+            fitted, importance_capacity_frac=caps["rays"] / H_W)
     return fitted, worst

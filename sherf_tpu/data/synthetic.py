@@ -41,14 +41,22 @@ def synthetic_camera(H: int, W: int, rng: np.random.RandomState,
     return K, R, T
 
 
-def _splat_image(H, W, K, R, T, verts, rng):
-    """Cheap observation 'photo': vertices splatted with smooth colors."""
+def _splat_image(H, W, K, R, T, verts, rng, phase=None):
+    """Cheap observation 'photo': vertices splatted with smooth colors.
+
+    ``phase``: optional (3,) color phase.  When given, the appearance is a
+    deterministic function of (vertex position, phase) — the SAME body
+    renders the SAME colors from every camera, which is what makes a
+    multi-view/multi-subject task consistent (an identity the model can
+    learn to read off the observation image)."""
     img = np.zeros((H, W, 3), np.float32)
     cam = verts @ R.T + T[:, 0]
     pix = cam @ K.T
     xy = (pix[:, :2] / np.maximum(pix[:, 2:], 1e-5)).astype(np.int32)
     ok = (xy[:, 0] >= 0) & (xy[:, 0] < W) & (xy[:, 1] >= 0) & (xy[:, 1] < H)
-    colors = 0.5 + 0.5 * np.sin(verts * 7.0 + rng.rand(3))
+    if phase is None:
+        phase = rng.rand(3)
+    colors = 0.5 + 0.5 * np.sin(verts * 7.0 + phase)
     img[xy[ok, 1], xy[ok, 0]] = colors[ok].astype(np.float32)
     return img
 
@@ -143,19 +151,33 @@ class SyntheticDataset:
     normal ``PrefetchLoader`` + ``collate`` pipeline (and therefore
     ``DataConfig(name="synthetic")``) works without any files on disk.
     Item ``i`` is deterministic in (seed, i).
+
+    ``subjects``: when set, the dataset becomes MULTI-PERSON in the
+    reference's sense (RenderPeople_dataset.py:151-175 trains across 450
+    subjects): item ``i`` belongs to subject ``subject_offset + i %
+    subjects``, a deterministic identity = (SMPL shape, appearance phase)
+    shared by every item of that subject; pose and cameras still vary per
+    item, and the observation/target splats use the SUBJECT's phase, so
+    appearance is consistent across views — the signal a generalizable
+    model reads off the one observation image.  A held-out subject is any
+    id outside [subject_offset, subject_offset + subjects).
     """
 
     camera_view_num = 4
 
     def __init__(self, smpl: SMPLModel, H: int = 64, W: int = 64,
                  poses_num: int = 20, size: int = 64, seed: int = 0,
-                 pose_scale: float = 0.25):
+                 pose_scale: float = 0.25,
+                 subjects: Optional[int] = None, subject_offset: int = 0):
         self.smpl = smpl
         self.H, self.W = H, W
         self.poses_num = poses_num
         self.size = size
         self.seed = seed
         self.pose_scale = pose_scale
+        self.subjects = subjects
+        self.subject_offset = subject_offset
+        self._subj_cache = {}
 
         bp = big_pose_params()
         t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
@@ -172,12 +194,53 @@ class SyntheticDataset:
     def __len__(self):
         return self.size
 
+    @staticmethod
+    def subject_identity(sid: int):
+        """Deterministic identity of global subject ``sid``: (SMPL shape,
+        appearance phase).  Depends on the subject id only."""
+        srng = np.random.RandomState(7919 * (sid + 13))
+        shape = (srng.randn(10) * 0.3).astype(np.float32)
+        phase = srng.rand(3)
+        return shape, phase
+
+    def subject_canonical(self, sid: int):
+        """Per-subject canonical (big-pose) body, as the reference computes
+        per subject (RenderPeople_dataset.py prepare_input / t_vertices):
+        big-pose SMPL forward with the SUBJECT's shape.  Returns
+        (t_vertices (6890, 3), t_bounds (2, 3), t_params dict); cached."""
+        if sid not in self._subj_cache:
+            shape, _ = self.subject_identity(sid)
+            bp = big_pose_params()
+            fwd = _jitted_smpl_verts()
+            tv = np.asarray(fwd(self.smpl, jnp.asarray(bp["poses"]),
+                                jnp.asarray(shape))).astype(np.float32)
+            t_min = tv.min(0) - 0.05
+            t_max = tv.max(0) + 0.05
+            t_min[2] -= 0.1
+            t_max[2] += 0.1
+            t_params = dict(poses=bp["poses"], shapes=shape, R=bp["R"],
+                            Th=bp["Th"])
+            self._subj_cache[sid] = (tv, np.stack([t_min, t_max]).astype(
+                np.float32), t_params)
+        return self._subj_cache[sid]
+
     def __getitem__(self, i):
         rng = np.random.RandomState(self.seed * 100003 + i)
         H, W = self.H, self.W
         pose = (rng.randn(72) * self.pose_scale).astype(np.float32)
         pose[:3] = 0
-        shape = (rng.randn(10) * 0.3).astype(np.float32)
+        phase = None
+        t_vertices, t_bounds, t_params = (self._t_verts, self._t_bounds,
+                                          self._t_params)
+        if self.subjects is not None:
+            # subject identity: deterministic in subject id ONLY (not in
+            # the dataset seed), so a held-out split built with a different
+            # seed/offset still indexes the same global subject space
+            sid = self.subject_offset + i % self.subjects
+            shape, phase = self.subject_identity(sid)
+            t_vertices, t_bounds, t_params = self.subject_canonical(sid)
+        else:
+            shape = (rng.randn(10) * 0.3).astype(np.float32)
         R_g = np.eye(3, dtype=np.float32)
         Th = rng.randn(3).astype(np.float32) * 0.05
         params = dict(poses=pose, shapes=shape, R=R_g, Th=Th)
@@ -194,8 +257,8 @@ class SyntheticDataset:
         near, far, mask = near_far_aabb_np(wb, ray_o, ray_d)
 
         oK, oR, oT = synthetic_camera(H, W, rng)
-        obs_img = _splat_image(H, W, oK, oR, oT, verts, rng)
-        tgt_img = _splat_image(H, W, K, Rc, Tc, verts, rng)
+        obs_img = _splat_image(H, W, oK, oR, oT, verts, rng, phase=phase)
+        tgt_img = _splat_image(H, W, K, Rc, Tc, verts, rng, phase=phase)
 
         return dict(
             img=tgt_img.astype(np.float32),
@@ -207,6 +270,6 @@ class SyntheticDataset:
             obs_K=oK.astype(np.float32), obs_R=oR.astype(np.float32),
             obs_T=oT.reshape(3, 1).astype(np.float32),
             obs_params=params, obs_vertices=verts,
-            t_params=self._t_params, t_vertices=self._t_verts,
-            t_world_bounds=self._t_bounds,
+            t_params=t_params, t_vertices=t_vertices,
+            t_world_bounds=t_bounds,
         )

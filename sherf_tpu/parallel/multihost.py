@@ -72,11 +72,24 @@ def coordination_barrier(name: str, timeout_ms: int = 900_000) -> None:
     """
     if jax.process_count() == 1:
         return
-    from jax._src import distributed
+    try:
+        # private API (no stability guarantee) — but the only pure-gRPC
+        # barrier: no device collective, so no Gloo communicator rendezvous
+        from jax._src import distributed
 
-    client = distributed.global_state.client
-    if client is not None:
-        client.wait_at_barrier(name, timeout_ms)
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_ms)
+            return
+    except (ImportError, AttributeError):
+        pass
+    # public fallback: sync_global_devices runs a device collective, which
+    # re-introduces the communicator-rendezvous timeout this barrier
+    # exists to avoid — acceptable as a degraded path after a JAX upgrade
+    # moves the private client (better than crashing pod startup)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def host_local_batch_to_global(batch, mesh: Mesh, specs):

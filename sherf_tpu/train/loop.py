@@ -65,13 +65,21 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
                   smpl: SMPLModel, batch_source: Optional[Callable] = None,
                   progress_fn: Optional[Callable] = None,
                   abort_fn: Optional[Callable] = None,
-                  profile_steps: Optional[tuple] = None):
+                  profile_steps: Optional[tuple] = None,
+                  phase_timing: bool = False):
     """batch_source: optional () -> SHERFBatch override (tests/synthetic).
     abort_fn: optional () -> bool polled every report interval; True stops
     training after a final snapshot (reference training_loop.py:155,521).
     profile_steps: optional (start, stop) step range captured with
     jax.profiler into run_dir/trace (the reference's record_function /
-    Timing/<phase> machinery, training_loop.py:257-262)."""
+    Timing/<phase> machinery, training_loop.py:257-262).
+    phase_timing: on each report step, run the training phases as
+    separately-dispatched programs (fwd+bwd / optimizer / EMA — same
+    composed update as the fused step) and report their device times as
+    Timing/fwd_bwd, Timing/opt, Timing/ema (reference Timing/<phase>,
+    training_loop.py:595-600).  Costs one extra compile of each phase;
+    single-process non-GAN runs (multi-device meshes use the sharded
+    grad body, so the breakdown reflects the real multi-chip step)."""
     run_dir = tcfg.outdir
     os.makedirs(run_dir, exist_ok=True)
     with open(os.path.join(run_dir, "training_options.json"), "w") as f:
@@ -193,6 +201,7 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
     t_tick = time.time()
     start_step = int(state.step)
     aborted = False
+    phase_fns = None  # lazily-compiled split phases (phase_timing mode)
     for step in range(start_step, total_steps):
         if profile_steps is not None and step == profile_steps[0]:
             jax.profiler.start_trace(os.path.join(run_dir, "trace"))
@@ -218,6 +227,33 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
             if step % tcfg.d_reg_interval == 0:
                 d_state, r_metrics = d_reg_step(d_state, batch)
                 metrics = {**metrics, **r_metrics}
+        elif (phase_timing and n_proc == 1
+              and (step + 1) % report_every == 0):
+            # per-phase device timing (reference Timing/<phase>): run this
+            # step as separate programs, blocking between phases.  The
+            # composed update equals the fused step's, so the trajectory
+            # is unchanged; compiled lazily on the first report step.
+            if phase_fns is None:
+                from sherf_tpu.train.step import make_phase_fns
+
+                phase_fns = make_phase_fns(model, smpl, tcfg,
+                                           lpips_fn=lpips_fn, mesh=mesh)
+            grad_fn, opt_fn, ema_fn = phase_fns
+            jax.block_until_ready(state.params)   # drain the async queue
+            tp0 = time.time()
+            (_, metrics), grads = jax.block_until_ready(
+                grad_fn(state.params, state.extra_vars, batch, sub))
+            tp1 = time.time()
+            state = jax.block_until_ready(opt_fn(state, grads))
+            tp2 = time.time()
+            state = jax.block_until_ready(ema_fn(state))
+            tp3 = time.time()
+            from sherf_tpu.train.step import optax_global_norm
+
+            metrics = dict(metrics)
+            metrics["grad_norm"] = optax_global_norm(grads)
+            stats.report({"fwd_bwd": tp1 - tp0, "opt": tp2 - tp1,
+                          "ema": tp3 - tp2}, prefix="Timing/")
         else:
             state, metrics = step_fn(state, batch, sub)
         # dispatch is async; the data-fetch share of the wall clock is still
@@ -250,6 +286,7 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
             aborted = abort_fn is not None and bool(abort_fn())
 
         if (step + 1) % snapshot_every == 0 or step + 1 == total_steps or aborted:
+            t_snap = time.time()
             # multi-host: state is fully replicated, so host 0 snapshots a
             # host-local copy (the reference's rank-0 pickling,
             # training_loop.py:563-579)
@@ -272,9 +309,15 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
                                                    f"fakes{step + 1:06d}.png"))
                 except Exception as e:  # noqa: BLE001 — snapshots must not kill training
                     print(f"sample-grid render failed: {e}")
+            # snapshot+grid wall time (reference Timing/snapshot analogue)
+            stats.report({"snapshot": time.time() - t_snap}, prefix="Timing/")
         if aborted:
             print("abort_fn requested stop; exiting training loop")
             break
 
+    # drain records reported after the last interval flush (e.g. the final
+    # snapshot's Timing/snapshot on an abort) — close() does not flush
+    if stats._counts:
+        stats.flush(int(state.step))
     stats.close()
     return state

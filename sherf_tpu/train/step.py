@@ -21,12 +21,8 @@ from sherf_tpu.train.loss import reconstruction_loss
 from sherf_tpu.train.train_state import SHERFTrainState, ema_beta, ema_update
 
 
-def make_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
-                    lpips_fn: Optional[Callable] = None,
-                    donate: bool = True) -> Callable:
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
-    beta = ema_beta(tcfg.batch_size, tcfg.ema_kimg)
-
+def _make_loss_fn(model, smpl: SMPLModel, tcfg: TrainConfig,
+                  lpips_fn: Optional[Callable] = None) -> Callable:
     def loss_fn(params, extra_vars, batch: SHERFBatch, rng):
         from sherf_tpu.core.diag import overflow_total
 
@@ -40,6 +36,16 @@ def make_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
         # budget-truncation watchdog: nonzero => corrupted samples this step
         metrics["overflow"] = overflow_total(mvars.get("diag", {}))
         return loss, metrics
+
+    return loss_fn
+
+
+def make_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
+                    lpips_fn: Optional[Callable] = None,
+                    donate: bool = True) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    beta = ema_beta(tcfg.batch_size, tcfg.ema_kimg)
+    loss_fn = _make_loss_fn(model, smpl, tcfg, lpips_fn)
 
     def train_step(state: SHERFTrainState, batch: SHERFBatch, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -58,35 +64,64 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
-def make_sharded_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
-                            mesh, lpips_fn: Optional[Callable] = None,
-                            donate: bool = True) -> Callable:
-    """Explicit-SPMD train step: shard_map over the (data, rays) mesh.
+def make_phase_fns(model, smpl: SMPLModel, tcfg: TrainConfig,
+                   lpips_fn: Optional[Callable] = None, mesh=None):
+    """Separately-jitted training phases for per-phase device timing
+    (reference ``Timing/<phase>`` from CUDA events,
+    training_loop.py:257-262,595-600 — there the phases are separate
+    launches; here the production step is ONE fused XLA program, so a
+    breakdown requires dispatching the phases as separate programs).
 
-    GSPMD cannot prove that the renderer's per-batch-item gathers (feature
-    banks, sparse-volume readouts — deliberately python-looped over B, see
-    nerf/renderer.py setup notes) stay within the local batch shard, so it
-    either replicates their compute or inserts per-item collective-permutes
-    (measured: 118 permutes for one step at mesh 4x2,
-    tools/inspect_sharded_hlo.py).  Under shard_map every device executes
-    the model on its LOCAL (B/dm, N/rm) shard only — the loops run over the
-    local batch, zero collectives inside the model — and the only
-    cross-device traffic is the ray all_gather for the image-space loss and
-    one gradient psum/pmean, exactly the DP story of the reference's manual
-    all_reduce (training_loop.py:374-384) plus our ray axis.
+    ``mesh``: None or a unit mesh -> plain-jit phases; a multi-device
+    (data, rays) mesh -> the grad phase is the same shard_map body the
+    fused sharded step uses (grad psum/pmean included), so the breakdown
+    reflects the real multi-chip step.
 
-    Expects the batch pre-sharded by ``shard_batch(batch, mesh,
-    interleave=True)``: ray fields round-robin across 'rays' so per-shard
-    static point budgets stay balanced.  Batch/ray dims must divide the
-    mesh axes.  Gradients/metrics are bitwise identical across devices on
-    exit (psum'd), numerically ≈ the single-device step (reduction order
-    differs).
+    Returns (grad_fn, opt_fn, ema_fn):
+      grad_fn(params, extra_vars, batch, rng) -> ((loss, metrics), grads)
+      opt_fn(state, grads)                    -> state
+      ema_fn(state)                           -> state
+    ``opt_fn(state, grads)`` then ``ema_fn`` compose to exactly the fused
+    step's update, so a timing step can REPLACE a fused step without
+    changing the training trajectory (donation off: the split programs are
+    diagnostic, compiled once on first use by the loop's phase_timing
+    mode).
     """
-    from jax.sharding import PartitionSpec as P
-
-    from sherf_tpu.parallel.mesh import batch_pspecs, uninterleave_rays
-
     beta = ema_beta(tcfg.batch_size, tcfg.ema_kimg)
+    if mesh is not None and int(mesh.devices.size) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from sherf_tpu.parallel.mesh import batch_pspecs
+
+        local_grads = _make_local_grads(model, smpl, tcfg, mesh, lpips_fn)
+
+        def _grad(params, extra_vars, batch, rng):
+            metrics, grads = jax.shard_map(
+                local_grads, mesh=mesh,
+                in_specs=(P(), P(), batch_pspecs(batch), P()),
+                out_specs=(P(), P()), check_vma=False,
+            )(params, extra_vars, batch, rng)
+            return (metrics["loss"], metrics), grads
+
+        grad_fn = jax.jit(_grad)
+    else:
+        loss_fn = _make_loss_fn(model, smpl, tcfg, lpips_fn)
+        grad_fn = jax.jit(lambda params, extra_vars, batch, rng:
+                          jax.value_and_grad(loss_fn, has_aux=True)(
+                              params, extra_vars, batch, rng))
+    opt_fn = jax.jit(lambda state, grads: state.apply_gradients(grads))
+    ema_fn = jax.jit(lambda state: state.replace(
+        ema_params=ema_update(state.ema_params, state.params, beta)))
+    return grad_fn, opt_fn, ema_fn
+
+
+def _make_local_grads(model, smpl: SMPLModel, tcfg: TrainConfig, mesh,
+                      lpips_fn: Optional[Callable] = None) -> Callable:
+    """Per-shard loss+grad body shared by the fused sharded step and the
+    sharded phase-timing fns: local forward/backward, ray all_gather for
+    the image-space loss, gradient psum/pmean on exit."""
+    from sherf_tpu.parallel.mesh import uninterleave_rays
+
     rm = mesh.shape["rays"]
 
     def local_loss(params, extra_vars, batch: SHERFBatch, rng):
@@ -123,13 +158,53 @@ def make_sharded_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
         (loss, metrics), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, extra_vars, batch, rng)
         # each ray lives on exactly one 'rays' member -> sum; data shards
-        # each hold a mean over B/dm images -> mean
-        grads = jax.lax.pmean(jax.lax.psum(grads, "rays"), "data")
+        # each hold a mean over B/dm images -> mean.  Composed as ONE
+        # fused all-reduce over the whole mesh (sum over rays and mean
+        # over data == global sum / dm): the psum('rays') -> pmean('data')
+        # pair emitted two full-size all-reduces — 333.6 MB/step at mesh
+        # 2x4 vs 166.8 MB of gradient (tools/collective_budget.py)
+        dm = mesh.shape["data"]
+        grads = jax.tree.map(lambda g: g * (1.0 / dm),
+                             jax.lax.psum(grads, ("rays", "data")))
         # overflow is a worst-case watchdog: take the max across all shards
         overflow = jax.lax.pmax(metrics.pop("overflow"), ("data", "rays"))
         metrics = jax.lax.pmean(metrics, "data")
         metrics["overflow"] = overflow
         return metrics, grads
+
+    return local_grads
+
+
+def make_sharded_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
+                            mesh, lpips_fn: Optional[Callable] = None,
+                            donate: bool = True) -> Callable:
+    """Explicit-SPMD train step: shard_map over the (data, rays) mesh.
+
+    GSPMD cannot prove that the renderer's per-batch-item gathers (feature
+    banks, sparse-volume readouts — deliberately python-looped over B, see
+    nerf/renderer.py setup notes) stay within the local batch shard, so it
+    either replicates their compute or inserts per-item collective-permutes
+    (measured: 118 permutes for one step at mesh 4x2,
+    tools/inspect_sharded_hlo.py).  Under shard_map every device executes
+    the model on its LOCAL (B/dm, N/rm) shard only — the loops run over the
+    local batch, zero collectives inside the model — and the only
+    cross-device traffic is the ray all_gather for the image-space loss and
+    one gradient psum/pmean, exactly the DP story of the reference's manual
+    all_reduce (training_loop.py:374-384) plus our ray axis.
+
+    Expects the batch pre-sharded by ``shard_batch(batch, mesh,
+    interleave=True)``: ray fields round-robin across 'rays' so per-shard
+    static point budgets stay balanced.  Batch/ray dims must divide the
+    mesh axes.  Gradients/metrics are bitwise identical across devices on
+    exit (psum'd), numerically ≈ the single-device step (reduction order
+    differs).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from sherf_tpu.parallel.mesh import batch_pspecs
+
+    beta = ema_beta(tcfg.batch_size, tcfg.ema_kimg)
+    local_grads = _make_local_grads(model, smpl, tcfg, mesh, lpips_fn)
 
     def train_step(state: SHERFTrainState, batch: SHERFBatch, rng):
         specs = batch_pspecs(batch)

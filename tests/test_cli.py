@@ -22,6 +22,7 @@ def test_render_demo_writes_png(tmp_path):
     assert img.shape == (16, 48, 3)  # rgb | depth | acc panel
 
 
+@pytest.mark.heavy
 def test_gen_videos_orbit(tmp_path):
     from sherf_tpu.cli.gen_videos import main
 

@@ -204,6 +204,7 @@ def test_importer_golden_roundtrip(inception_setup):
                                       err_msg=str(path))
 
 
+@pytest.mark.heavy
 def test_full_forward_shapes_and_extractor(inception_setup, tmp_path):
     net, params = inception_setup
     x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)

@@ -7,6 +7,7 @@ import json
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from sherf_tpu.core.config import (DataConfig, ModelConfig, RenderConfig,
@@ -16,6 +17,7 @@ from sherf_tpu.smpl import synthetic_smpl
 from sherf_tpu.train.loop import training_loop
 
 
+@pytest.mark.heavy
 def test_loop_timing_resources_abort(tmp_path):
     smpl = synthetic_smpl(0)
     cfg = ModelConfig(render=RenderConfig(depth_resolution=4,
@@ -49,6 +51,12 @@ def test_loop_timing_resources_abort(tmp_path):
     assert recs, "no stats flushed"
     keys = set().union(*(r.keys() for r in recs))
     assert "Timing/data_fetch" in keys and "Timing/step_dispatch" in keys
+    # snapshot wall-time phase (reference Timing/<phase>); the fwd_bwd/opt/
+    # ema breakdown is covered cheaply by
+    # test_train.py::test_phase_fns_compose_to_fused_step — running the
+    # loop with phase_timing=True here would double-compile the 8-device
+    # shard_map grad (~15 min on a 1-CPU box)
+    assert "Timing/snapshot" in keys
     assert "Resources/cpu_mem_gb" in keys
     assert any(k.startswith("Loss/") for k in keys)
 

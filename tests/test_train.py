@@ -128,6 +128,50 @@ def test_ema_update():
     np.testing.assert_allclose(np.asarray(out["w"]), 0.5)
 
 
+def test_phase_fns_compose_to_fused_step():
+    """The per-phase timing programs (train/step.py make_phase_fns; the
+    reference's Timing/<phase> breakdown, training_loop.py:595-600) must
+    compose to EXACTLY the fused train step's update, so a timing step can
+    replace a fused step without changing the training trajectory."""
+    from sherf_tpu.train.step import make_phase_fns
+
+    smpl = synthetic_smpl(0)
+    bp = big_pose_params()
+    t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
+                                      jnp.asarray(bp["shapes"]))[0])
+    _, out_sh = prepare_voxel_volume(t_verts, voxel_size=0.02)
+    cfg = ModelConfig(backbone_resolution=32, voxel_size=0.02,
+                      render=RenderConfig(depth_resolution=4,
+                                          point_capacity_frac=0.25,
+                                          density_noise=0.0))
+    tcfg = TrainConfig(batch_size=1, lr=1e-3)
+    model = SHERFGenerator(cfg, out_sh=out_sh)
+    batch = make_synthetic_batch(smpl, batch_size=1, H=8, W=8, seed=0)
+
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b,
+                                             smpl))(batch)
+    params = variables.pop("params")
+    state = create_train_state(params, dict(variables), tcfg)
+    step = make_train_step(model, smpl, tcfg, donate=False)
+    rng = jax.random.PRNGKey(7)
+    fused, metrics_f = step(state, batch, rng)
+
+    grad_fn, opt_fn, ema_fn = make_phase_fns(model, smpl, tcfg)
+    (loss, metrics_p), grads = grad_fn(state.params, state.extra_vars,
+                                       batch, rng)
+    split = ema_fn(opt_fn(state, grads))
+
+    np.testing.assert_allclose(float(loss), float(metrics_f["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(fused.params),
+                    jax.tree_util.tree_leaves(split.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(fused.ema_params),
+                    jax.tree_util.tree_leaves(split.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(split.step) == int(fused.step)
+
+
 @pytest.mark.heavy
 def test_budgeted_gradients_match_parity_mode():
     """A/B the custom adjoints: gradients of the reconstruction loss through

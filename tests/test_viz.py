@@ -26,6 +26,7 @@ def viz():
     return VizRenderer()
 
 
+@pytest.mark.heavy
 def test_render_rgb(viz):
     res = viz.render(resolution=RES, depth_resolution=DEPTH)
     assert "error" not in res or res["error"] is None, res.get("error")
@@ -53,6 +54,7 @@ def test_render_crosssection(viz):
     assert res["image"].shape == (16, 16, 3)
 
 
+@pytest.mark.heavy
 def test_layer_capture(viz):
     res = viz.render(resolution=RES, depth_resolution=DEPTH, list_layers=True)
     assert res.get("error") is None, res.get("error")
@@ -131,6 +133,7 @@ def test_widgets_state_machine():
     assert st["fps"] == pytest.approx(1.0 / st["render_time_ema"])
 
 
+@pytest.mark.heavy
 def test_http_server(tmp_path):
     from sherf_tpu.viz.server import VisualizerApp, serve
 

@@ -39,10 +39,13 @@ def main(H=512, W=512, D=48, iters=3, top=40):
     # scene-calibrated budgets (margin 1.15) as bench.main's default
     import dataclasses
 
-    from sherf_tpu.core.calibrate import calibrate_budgets
+    from sherf_tpu.core.calibrate import calibrate_budgets, \
+        calibrate_sparse_caps
 
     cfg = ModelConfig(compute_dtype="bfloat16", render=RenderConfig(
         depth_resolution=D, density_noise=0.0))
+    cfg = dataclasses.replace(
+        cfg, sparse_caps=calibrate_sparse_caps([t_verts], cfg.voxel_size))
     batch = make_synthetic_batch(smpl, batch_size=1, H=H, W=W, seed=0)
     fitted, _ = calibrate_budgets([batch], cfg, margin=1.15)
     cfg = dataclasses.replace(cfg, render=fitted)
