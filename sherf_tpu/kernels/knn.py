@@ -49,12 +49,16 @@ def nn_1_ref(query: jnp.ndarray, ref: jnp.ndarray, chunk: int = 8192):
 
 def nn_1(query: jnp.ndarray, ref: jnp.ndarray, chunk: int = 8192):
     """Dispatch: the Pallas kernel on TPU backends (2.6x the jnp version on
-    v5e — distances stay in VMEM), the chunked jnp reference elsewhere."""
+    v5e — distances stay in VMEM), the chunked jnp reference elsewhere.
+    Large vertex sets take the clustered branch-and-bound kernel (exact:
+    bound-justified cluster skipping, same elementwise distances)."""
     backend = jax.default_backend()
     if backend in ("tpu", "axon"):
-        from sherf_tpu.kernels.knn_pallas import nn_1_pallas
+        from sherf_tpu.kernels import knn_pallas as kp
 
-        return nn_1_pallas(query, ref)
+        if kp.CLUSTERED and ref.shape[0] >= 8 * kp.C_SIZE:
+            return kp.nn_1_clustered_pallas(query, ref)
+        return kp.nn_1_pallas(query, ref)
     return nn_1_ref(query, ref, chunk=chunk)
 
 
@@ -68,8 +72,7 @@ def nn_1_tables(query: jnp.ndarray, ref: jnp.ndarray, tables: jnp.ndarray,
     with matmul-speed work.  Elsewhere: jnp KNN + a plain gather."""
     backend = jax.default_backend()
     if backend in ("tpu", "axon"):
-        from sherf_tpu.kernels.knn_pallas import nn_1_tables_pallas
-
-        return nn_1_tables_pallas(query, ref, tables)
+        d2, idx = nn_1(query, ref)
+        return d2, idx, jnp.take(tables, idx, axis=0)
     d2, idx = nn_1_ref(query, ref, chunk=chunk)
     return d2, idx, jnp.take(tables, idx, axis=0)

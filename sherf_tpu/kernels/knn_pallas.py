@@ -37,10 +37,63 @@ from jax.experimental.pallas import tpu as pltpu
 
 # tile knobs (env overrides for A/B profiling)
 P_TILE = int(os.environ.get("SHERF_KNN_P", "512"))    # points per program
-# (1024 exceeded the 16MB scoped-vmem budget once the bf16x3 split's
-# three partial-product tiles joined the d2 tile)
+# P=512 keeps the elementwise form's live (P, VT) f32 temps (three
+# per-coordinate difference tiles + the accumulated d2 tile) inside the
+# 16MB scoped-vmem budget with headroom; 1024 was over budget for the
+# earlier bf16x3 split variant and buys nothing here (VPU-bound)
 V_TILE = int(os.environ.get("SHERF_KNN_V", "2048"))   # vertices per inner tile
 SENTINEL = 1e6     # padded-vertex coordinate
+
+# clustered (branch-and-bound) kernel knobs: vertices are Morton-sorted
+# per frame and chunked into clusters of C_SIZE; the kernel visits a
+# cluster only when its bound can still beat a point's current best.
+C_SIZE = int(os.environ.get("SHERF_KNN_CSIZE", "128"))
+CLUSTERED = os.environ.get("SHERF_KNN_CLUSTER", "1") != "0"
+
+
+def _morton_spread(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of x so they occupy every 3rd bit."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_order(verts: jnp.ndarray) -> jnp.ndarray:
+    """(V,) int32 permutation sorting vertices along a Morton curve of
+    their CURRENT (posed) positions — consecutive chunks of the sorted
+    order are spatially tight clusters, articulation included (a template
+    partition would smear across joints; this re-sorts every frame for
+    the cost of one 6890-key argsort)."""
+    v = verts.astype(jnp.float32)
+    lo = jnp.min(v, axis=0)
+    hi = jnp.max(v, axis=0)
+    g = jnp.clip((v - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0,
+                 0.0, 1023.0).astype(jnp.uint32)
+    code = ((_morton_spread(g[:, 0]) << 2)
+            | (_morton_spread(g[:, 1]) << 1)
+            | _morton_spread(g[:, 2]))
+    return jnp.argsort(code).astype(jnp.int32)
+
+
+def _cluster_stats(vs_pad: jnp.ndarray, n_real: int):
+    """Per-cluster centroid and radius over consecutive C_SIZE chunks.
+    vs_pad: (C*C_SIZE, 3) Morton-sorted vertices, rows >= n_real padding.
+    The radius carries a small inflation so every f32-rounded bound built
+    from it stays CONSERVATIVE (never prunes the true nearest vertex)."""
+    C = vs_pad.shape[0] // C_SIZE
+    grp = vs_pad.reshape(C, C_SIZE, 3)
+    mask = jnp.arange(C * C_SIZE).reshape(C, C_SIZE) < n_real
+    cnt = jnp.maximum(jnp.sum(mask, axis=1), 1)[:, None]
+    ctr = jnp.sum(jnp.where(mask[..., None], grp, 0.0), axis=1) / cnt
+    r2 = jnp.max(jnp.where(mask, jnp.sum(jnp.square(grp - ctr[:, None]), -1),
+                           0.0), axis=1)
+    rad = jnp.sqrt(r2) * (1.0 + 1e-5) + 1e-6
+    # empty (all-padding) clusters: park the centroid on the sentinel so
+    # their lower bound is astronomically large -> never visited
+    ctr = jnp.where((jnp.sum(mask, axis=1) == 0)[:, None], SENTINEL, ctr)
+    return ctr, rad
 
 
 def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
@@ -65,6 +118,118 @@ def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
         best_i = jnp.where(upd, i, best_i)
     dist_ref[:] = best
     idx_ref[:] = best_i
+
+
+def _knn_cluster_kernel(q_ref, v_ref, c_ref, r_ref, dist_ref, idx_ref,
+                        best_scr, bi_scr, *, n_clusters: int):
+    """Branch-and-bound exact K=1 over Morton clusters.
+
+    q_ref: (P, 3); v_ref: (3, C*S) Morton-sorted; c_ref: (3, Cp) cluster
+    centroids; r_ref: (1, Cp) radii.  Per point: best is initialized to
+    min_c (d_c + r_c)^2 (an upper bound on the true NN distance — some
+    vertex of the nearest cluster is at most that far), then cluster c is
+    visited only when its lower bound (d_c - r_c)^2 can still beat the
+    running best of SOME point in the tile.  Never skips the true-NN
+    cluster: its lower bound <= true d2 <= running best.  Distance tiles
+    use the same exact elementwise form as _knn_kernel, so visited-cluster
+    results are bit-identical to the full scan."""
+    q = q_ref[:]                                        # (P, 3)
+    cc = c_ref[:]                                       # (3, Cp)
+    rr = r_ref[:]                                       # (1, Cp)
+    dc2 = jnp.square(q[:, 0:1] - cc[0:1, :])
+    dc2 = dc2 + jnp.square(q[:, 1:2] - cc[1:2, :])
+    dc2 = dc2 + jnp.square(q[:, 2:3] - cc[2:3, :])      # (P, Cp)
+    dc = jnp.sqrt(dc2)
+    lb = jnp.square(jnp.maximum(dc - rr, 0.0))          # (P, Cp)
+    ub = jnp.min(jnp.square(dc + rr), axis=1, keepdims=True)
+    # cushion: the ub expression rounds differently from the exact
+    # elementwise d2 a visited cluster produces; keep ub strictly above
+    # the true NN distance so the winning vertex always updates best
+    best_scr[:] = ub * (1.0 + 1e-5) + 1e-12
+    bi_scr[:] = jnp.zeros((q.shape[0], 1), jnp.int32)
+    for t in range(n_clusters):
+        visit = jnp.any(lb[:, t:t + 1] <= best_scr[:])
+
+        @pl.when(visit)
+        def _(t=t):
+            v = v_ref[:, t * C_SIZE:(t + 1) * C_SIZE]   # (3, S) static slice
+            d2 = jnp.square(q[:, 0:1] - v[0:1, :])
+            d2 = d2 + jnp.square(q[:, 1:2] - v[1:2, :])
+            d2 = d2 + jnp.square(q[:, 2:3] - v[2:3, :])
+            m = jnp.min(d2, axis=1, keepdims=True)
+            i = (jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32)
+                 + t * C_SIZE)
+            b = best_scr[:]
+            upd = m < b
+            best_scr[:] = jnp.where(upd, m, b)
+            bi_scr[:] = jnp.where(upd, i, bi_scr[:])
+
+    dist_ref[:] = best_scr[:]
+    idx_ref[:] = bi_scr[:]
+
+
+def nn_1_clustered_pallas(query: jnp.ndarray, ref: jnp.ndarray,
+                          interpret: bool = False):
+    """Exact K=1 NN via per-frame Morton clustering + branch-and-bound.
+    query: (N, 3); ref: (V, 3) -> (dist_sq (N,), idx (N,)) with idx in the
+    ORIGINAL vertex numbering.
+
+    The full-scan kernel is VPU-bound at N*V distance pairs; production
+    queries are ray-major compacted body samples, so a 512-point tile
+    touches a handful of body regions and the bound test skips most of the
+    ~54 clusters.  Prep (morton argsort of 6890 keys + permute + cluster
+    stats) is plain XLA, ~0.1 ms."""
+    n = query.shape[0]
+    v = ref.shape[0]
+    order = morton_order(ref)
+    vs = jnp.take(ref.astype(jnp.float32), order, axis=0)   # (V, 3) sorted
+    ctr0 = jnp.mean(vs, axis=0)
+    vs = vs - ctr0
+    v_pad = -v % C_SIZE
+    vs_pad = jnp.pad(vs, ((0, v_pad), (0, 0)), constant_values=SENTINEL)
+    n_clusters = vs_pad.shape[0] // C_SIZE
+    cent, rad = _cluster_stats(vs_pad, v)                   # (C,3), (C,)
+    c_lanes = -n_clusters % 128
+    cent_t = jnp.pad(cent, ((0, c_lanes), (0, 0)),
+                     constant_values=SENTINEL).T            # (3, Cp)
+    rad_t = jnp.pad(rad, (0, c_lanes))[None, :]             # (1, Cp)
+
+    n_pad = -n % P_TILE
+    qt = jnp.pad(query.astype(jnp.float32) - ctr0, ((0, n_pad), (0, 0)))
+    n_tiles = qt.shape[0] // P_TILE
+
+    dist, idx = pl.pallas_call(
+        functools.partial(_knn_cluster_kernel, n_clusters=n_clusters),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((P_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, vs_pad.shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cent_t.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rad_t.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((P_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P_TILE, 1), jnp.float32),
+            pltpu.VMEM((P_TILE, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qt, vs_pad.T, cent_t, rad_t)
+    # map sorted positions back to original vertex ids
+    idx_orig = jnp.take(order, jnp.minimum(idx[:n, 0], v - 1))
+    return dist[:n, 0], idx_orig
 
 
 # smaller point tile than the KNN kernels: the segment-distance math keeps
@@ -103,6 +268,99 @@ def _ray_seg_kernel(r_ref, v_ref, out_ref, *, n_vtiles: int, thr: float):
         dist = a - b * b * dd_inv
         best = jnp.minimum(best, jnp.min(dist, axis=1, keepdims=True))
     out_ref[:] = (best < thr).astype(jnp.int32)
+
+
+def _ray_seg_cluster_kernel(r_ref, v_ref, c_ref, rad_ref, out_ref, hit_scr,
+                            *, n_clusters: int, thr: float):
+    """Clustered branch-and-bound form of _ray_seg_kernel.  A cluster is
+    visited only while some not-yet-hit ray's line passes within
+    (radius + sqrt(thr)) of its centroid: line-dist(v) >= line-dist(ctr)
+    - radius for every member vertex, so skipped clusters cannot contain
+    a sub-threshold vertex.  Visited clusters run the exact elementwise
+    test, so the output mask is bit-identical to the full scan."""
+    r = r_ref[:]
+    o, d = r[:, 0:3], r[:, 3:6]
+    dd_inv = 1.0 / jnp.maximum(jnp.sum(d * d, axis=1, keepdims=True), 1e-12)
+    cc = c_ref[:]                                       # (3, Cp)
+    rad = rad_ref[:]                                    # (1, Cp)
+    w0 = cc[0:1, :] - o[:, 0:1]
+    w1 = cc[1:2, :] - o[:, 1:2]
+    w2 = cc[2:3, :] - o[:, 2:3]
+    a = jnp.square(w0) + jnp.square(w1) + jnp.square(w2)
+    b = d[:, 0:1] * w0 + d[:, 1:2] * w1 + d[:, 2:3] * w2
+    dl2 = jnp.maximum(a - b * b * dd_inv, 0.0)          # (P, Cp) line-ctr d2
+    # conservative lower bound on line-to-member distance squared
+    lb = jnp.square(jnp.maximum(jnp.sqrt(dl2) * (1.0 - 1e-5) - rad, 0.0))
+    hit_scr[:] = jnp.zeros((r.shape[0], 1), jnp.int32)
+    for t in range(n_clusters):
+        visit = jnp.any((lb[:, t:t + 1] < thr) & (hit_scr[:] == 0))
+
+        @pl.when(visit)
+        def _(t=t):
+            v = v_ref[:, t * C_SIZE:(t + 1) * C_SIZE]
+            u0 = v[0:1, :] - o[:, 0:1]
+            u1 = v[1:2, :] - o[:, 1:2]
+            u2 = v[2:3, :] - o[:, 2:3]
+            aa = jnp.square(u0) + jnp.square(u1) + jnp.square(u2)
+            bb = d[:, 0:1] * u0 + d[:, 1:2] * u1 + d[:, 2:3] * u2
+            dist = aa - bb * bb * dd_inv
+            near_hit = jnp.min(dist, axis=1, keepdims=True) < thr
+            hit_scr[:] = jnp.maximum(hit_scr[:], near_hit.astype(jnp.int32))
+
+    out_ref[:] = hit_scr[:]
+
+
+def ray_body_mask_clustered_pallas(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
+                                   near: jnp.ndarray, far: jnp.ndarray,
+                                   verts: jnp.ndarray, threshold_sq: float,
+                                   interpret: bool = None):
+    """Clustered branch-and-bound variant of ray_body_mask_pallas (same
+    contract); most rays miss most of the body's ~54 Morton clusters, and
+    hitting rays stop visiting once any cluster passes the test."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n = ray_o.shape[0]
+    v = verts.shape[0]
+    order = morton_order(verts)
+    vs = jnp.take(verts.astype(jnp.float32), order, axis=0)
+    ctr0 = jnp.mean(vs, axis=0)
+    vs = vs - ctr0
+    v_pad = -v % C_SIZE
+    vs_pad = jnp.pad(vs, ((0, v_pad), (0, 0)), constant_values=SENTINEL)
+    n_clusters = vs_pad.shape[0] // C_SIZE
+    cent, rad = _cluster_stats(vs_pad, v)
+    c_lanes = -n_clusters % 128
+    cent_t = jnp.pad(cent, ((0, c_lanes), (0, 0)),
+                     constant_values=SENTINEL).T
+    rad_t = jnp.pad(rad, (0, c_lanes))[None, :]
+
+    n_pad = -n % RSEG_P
+    rows = jnp.concatenate([
+        ray_o.astype(jnp.float32) - ctr0, ray_d.astype(jnp.float32),
+        near.astype(jnp.float32)[:, None], far.astype(jnp.float32)[:, None],
+    ], axis=-1)
+    rows = jnp.pad(rows, ((0, n_pad), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_ray_seg_cluster_kernel, n_clusters=n_clusters,
+                          thr=float(threshold_sq)),
+        grid=(rows.shape[0] // RSEG_P,),
+        in_specs=[
+            pl.BlockSpec((RSEG_P, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, vs_pad.shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cent_t.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rad_t.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RSEG_P, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows.shape[0], 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((RSEG_P, 1), jnp.int32)],
+        interpret=interpret,
+    )(rows, vs_pad.T, cent_t, rad_t)
+    return out[:n, 0] > 0
 
 
 def ray_body_mask_pallas(ray_o: jnp.ndarray, ray_d: jnp.ndarray,

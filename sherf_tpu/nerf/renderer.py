@@ -421,7 +421,7 @@ class SHERFRenderer(nn.Module):
         tensors gathered down to the budget; ray_sel = (ridx, rvalid,
         depth_lo, depth_hi) for the final scatter-back.
         """
-        from sherf_tpu.kernels.knn_pallas import ray_body_mask_pallas
+        from sherf_tpu.kernels import knn_pallas as kp
 
         rc = self.cfg.render
         B, N = ray_o.shape[:2]
@@ -432,9 +432,17 @@ class SHERFRenderer(nn.Module):
         # dropped while one of its samples passes the exact test (measured:
         # ~30 silhouette pixels flipped at 512^2 without the slack)
         thr_ray = (float(np.sqrt(rc.prune_threshold_sq)) + 1e-3) ** 2
+        # clustered only on real TPU backends: in interpret mode (CPU
+        # oracle tests) the per-cluster pl.when emulation is far slower
+        # than the plain kernel, and the clustered/full equivalence has its
+        # own dedicated tests (test_knn.py)
+        ray_fn = (kp.ray_body_mask_clustered_pallas
+                  if (kp.CLUSTERED and vertices.shape[1] >= 8 * kp.C_SIZE
+                      and jax.default_backend() in ("tpu", "axon"))
+                  else kp.ray_body_mask_pallas)
         ray_mask = ray_mask & jnp.stack([
-            ray_body_mask_pallas(ray_o[b], ray_d[b], near[b], far[b],
-                                 vertices[b], thr_ray)
+            ray_fn(ray_o[b], ray_d[b], near[b], far[b],
+                   vertices[b], thr_ray)
             for b in range(B)])
         depth_lo = jnp.min(near, axis=1)           # (B,) dense-path clip
         depth_hi = jnp.max(far, axis=1)
@@ -542,7 +550,8 @@ class SHERFRenderer(nn.Module):
             lambda ct, cb, pay, qq, qq_d: deform_target2c_from_tables(
                 ct, cb, pay, qq, qq_d)
         )(ctx_target, ctx_big, pay_t2c, q_s, qd_s)
-        out = self.decode_points(*bank_args[:6], can, can_dir, *bank_args[6:])
+        out = self.decode_points(*bank_args[:6], can, can_dir, *bank_args[6:],
+                                 train=train)
         sigma = out["sigma"][..., 0]
         if train and rc.density_noise > 0:
             noise = jax.random.normal(self.make_rng("density"), sigma.shape)

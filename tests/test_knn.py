@@ -66,14 +66,75 @@ def test_nn_1_tables_matches_gather():
     np.testing.assert_array_equal(np.asarray(pay), pay_ref)
 
     # the pallas kernel itself, in interpreter mode.  Its distance contract
-    # is the bf16x3 split form (the TPU MXU offers no native f32 dots in
-    # Mosaic): |error| <~ 3*|q||v|*2^-17 — ~1e-4 here, ~3e-5 on centered
-    # body coordinates, far inside the 2.5e-3 prune-threshold band.
+    # is the EXACT elementwise difference form (per-coordinate f32
+    # subtract/square/sum on the VPU — no matmul expansion, no MXU
+    # precision involvement), so it must match the jnp reference to f32
+    # rounding of the same expression.
     d2, i2, pay2 = nn_1_tables_pallas(q, v, tab, interpret=True)
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), rtol=2e-4,
-                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), rtol=2e-5,
+                               atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(pay2), pay_ref, atol=1e-5)
+
+
+def test_nn_clustered_matches_full_scan():
+    """The branch-and-bound clustered kernel (Morton clusters + bound-
+    justified skipping) is EXACT: identical d2 (same elementwise f32
+    expression) and identical argmin as the full-scan kernel, surface-like
+    and far-away queries alike."""
+    from sherf_tpu.kernels.knn_pallas import (nn_1_clustered_pallas,
+                                              nn_1_pallas)
+
+    rng = np.random.RandomState(4)
+    v = (rng.randn(1500, 3) * 0.4).astype(np.float32)
+    # surface-hugging queries (the production distribution after the voxel
+    # prune) + uniform far-field queries
+    q = np.concatenate([
+        v[rng.randint(0, 1500, 700)] + rng.randn(700, 3).astype(np.float32) * 0.05,
+        rng.uniform(-1.5, 1.5, (324, 3)).astype(np.float32),
+    ])
+    d_full, i_full = nn_1_pallas(jnp.asarray(q), jnp.asarray(v),
+                                 interpret=True)
+    d_c, i_c = nn_1_clustered_pallas(jnp.asarray(q), jnp.asarray(v),
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_full),
+                               rtol=2e-6, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_full))
+    # and against the f64 oracle
+    d64 = ((q.astype(np.float64)[:, None] - v.astype(np.float64)[None]) ** 2
+           ).sum(-1)
+    np.testing.assert_array_equal(np.asarray(i_c), d64.argmin(1))
+    np.testing.assert_allclose(np.asarray(d_c), d64.min(1), rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_ray_body_mask_clustered_matches_full():
+    """Clustered ray prune == full-scan ray prune on every ray (bound-
+    justified cluster skipping cannot change the boolean)."""
+    from sherf_tpu.kernels.knn_pallas import (ray_body_mask_clustered_pallas,
+                                              ray_body_mask_pallas)
+
+    rng = np.random.RandomState(5)
+    verts = jnp.asarray((rng.randn(1300, 3) * 0.3).astype(np.float32))
+    N = 512
+    o = jnp.asarray(rng.randn(N, 3).astype(np.float32) * 2.0)
+    d = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+    near = jnp.asarray(rng.uniform(0.5, 1.0, N).astype(np.float32))
+    far = near + jnp.asarray(rng.uniform(0.5, 2.0, N).astype(np.float32))
+    thr = 0.05 ** 2
+    full = np.asarray(ray_body_mask_pallas(o, d, near, far, verts, thr,
+                                           interpret=True))
+    clus = np.asarray(ray_body_mask_clustered_pallas(o, d, near, far, verts,
+                                                     thr, interpret=True))
+    # borderline rays (line_min within f32 slop of thr) may flip with the
+    # centering difference; exclude them like the superset test does
+    ov = np.asarray(o)[:, None] - np.asarray(verts)[None]
+    dn = np.asarray(d)
+    dd = (dn * dn).sum(-1)[:, None]
+    b = -(ov * dn[:, None]).sum(-1)
+    line_min = ((ov ** 2).sum(-1) - b * b / dd).min(axis=1)
+    clear = np.abs(line_min - thr) > 1e-6
+    np.testing.assert_array_equal(clus[clear], full[clear])
 
 
 def test_payload_warps_match_vid_warps():

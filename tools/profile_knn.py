@@ -143,7 +143,8 @@ def make_variant(p_tile, v_tile, mode):
 
 
 def main(N=524288):
-    from sherf_tpu.kernels.knn_pallas import nn_1_pallas
+    from sherf_tpu.kernels.knn_pallas import (nn_1_clustered_pallas,
+                                              nn_1_pallas)
     from sherf_tpu.smpl import synthetic_smpl, smpl_forward, big_pose_params
 
     key = jax.random.PRNGKey(0)
@@ -153,10 +154,28 @@ def main(N=524288):
                            jnp.asarray(bp["shapes"]))[0]
     q = jax.random.uniform(key, (N, 3), minval=-1.2, maxval=1.2)
     v = jnp.asarray(t_verts)
+    # production-like queries: voxel-prune survivors hug the body surface
+    # (within ~2 voxels) and arrive in ray-major (spatially coherent) order
+    rs = np.random.RandomState(0)
+    vn = np.asarray(t_verts)
+    qs = (vn[rs.randint(0, vn.shape[0], N)]
+          + rs.randn(N, 3).astype(np.float32) * 0.05)
+    qs = jnp.asarray(qs[np.argsort(qs[:, 0], kind="stable")])  # coherent
 
     base = jax.jit(lambda a, b: nn_1_pallas(a, b)[1])
     ref_idx = np.asarray(base(q, v))
     timeit(base, q, v, tag="production nn_1_pallas (1024x2048)")
+    timeit(base, qs, v, tag="production nn_1_pallas (surface queries)")
+
+    clus = jax.jit(lambda a, b: nn_1_clustered_pallas(a, b)[1])
+    ci = np.asarray(clus(q, v))
+    m = (ci == ref_idx).mean()
+    timeit(clus, q, v, tag=f"clustered B&B (uniform queries, match {m:.4f})")
+    ref_s = np.asarray(base(qs, v))
+    cs = np.asarray(clus(qs, v))
+    ms = (cs == ref_s).mean()
+    timeit(clus, qs, v,
+           tag=f"clustered B&B (surface queries, match {ms:.4f})")
 
     for p_tile, v_tile, mode in [
         (1024, 2048, "base"),
