@@ -47,8 +47,15 @@ SENTINEL = 1e6     # padded-vertex coordinate
 # clustered (branch-and-bound) kernel knobs: vertices are Morton-sorted
 # per frame and chunked into clusters of C_SIZE; the kernel visits a
 # cluster only when its bound can still beat a point's current best.
+# DEFAULT OFF: A/B on the production 512x512x48 frame measured the
+# clustered dispatch at 209.8 ms sustained vs 138.1 ms for the full-scan
+# kernels (r4) — compacted KNN queries are all body-proximal, so the
+# bound test skips few clusters while every tile pays the ~54-cluster
+# sequential pl.when chain + the (P, Cp) bound precompute.  The kernels
+# stay available (exactness is pinned by test_knn.py) for workloads with
+# far-field queries.
 C_SIZE = int(os.environ.get("SHERF_KNN_CSIZE", "128"))
-CLUSTERED = os.environ.get("SHERF_KNN_CLUSTER", "1") != "0"
+CLUSTERED = os.environ.get("SHERF_KNN_CLUSTER", "0") != "0"
 
 
 def _morton_spread(x: jnp.ndarray) -> jnp.ndarray:
