@@ -145,9 +145,27 @@ def calibrate_budgets(batches: Iterable, cfg, margin: float = 1.2,
     from sherf_tpu.kernels.occupancy import CELL, GRID_SIZE
 
     rcfg = cfg.render
+    batches = list(batches)
+    assert batches, "need at least one calibration batch"
+    D = rcfg.depth_resolution
+    # fit the stride dilation margin to the scene's true max per-ray depth
+    # step (snapped up to 5mm for compile-cache stability): the margin only
+    # has to cover samples the stride SKIPS (one step away from a tested
+    # one), and every extra cm of margin widens the conservative ball the
+    # exact-KNN stage then has to re-test.  The renderer sows a
+    # step_overflow diag if a production frame ever exceeds the fitted
+    # margin (same contract as the capacity budgets: calibrate on
+    # worst-case batches, watch the counters).
+    step_max = max(float(jnp.max((b.far - b.near) / (D - 1)))
+                   for b in batches)
+    fitted_margin = math.ceil(step_max / 0.005) * 0.005
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(rcfg,
+                                        prune_step_margin=fitted_margin))
+    rcfg = cfg.render
+
     worst = {"rays": 0, "voxel": 0, "exact": 0, "step_max": 0.0, "span": 0.0}
     H_W = None
-    D = rcfg.depth_resolution
     for batch in batches:
         m = measure_budgets(batch, cfg)
         H_W = batch.ray_o.shape[1]
@@ -155,17 +173,8 @@ def calibrate_budgets(batches: Iterable, cfg, margin: float = 1.2,
             worst[k] = max(worst[k], m[k])
         worst["step_max"] = max(worst["step_max"], m["step_max"])
         worst["span"] = max(worst["span"], m["span"])
-    assert H_W is not None, "need at least one calibration batch"
     assert worst["span"] + 0.5 < GRID_SIZE * CELL, \
         f"body span {worst['span']:.2f}m too large for the occupancy grid"
-    # the dilation margin only has to cover samples the stride SKIPS;
-    # at (effective) stride 1 every sample is tested against the dilated
-    # grid directly (the renderer forces stride 1 below D=24)
-    assert rcfg.prune_stride == 1 or D < 24 \
-        or worst["step_max"] <= rcfg.prune_step_margin, \
-        (f"depth step {worst['step_max']:.3f}m exceeds prune_step_margin "
-         f"{rcfg.prune_step_margin}; raise it, the depth resolution, or use "
-         f"prune_stride=1")
 
     M = H_W * D
     caps = {k: min(_round_up(int(worst[k] * margin), round_to), total)

@@ -76,6 +76,13 @@ class RenderConfig:
     # on AND point_capacity_frac < 1 (budgeted mode); the parity-mode
     # importance path stays full-compute dense.
     importance_capacity_frac: Optional[float] = None
+    # Per-tile cluster-shortlist cap for the exact-KNN kernels (budgeted
+    # mode, TPU backends only): each 512-point tile visits at most this
+    # many 128-vertex Morton clusters instead of the full vertex scan.
+    # Exact whenever every tile's needed-cluster count fits the cap — the
+    # renderer sows knn_shortlist_overflow otherwise (same contract as the
+    # capacity budgets; bench.py asserts zero).  0 disables (full scan).
+    knn_shortlist: int = 24
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self))

@@ -62,6 +62,38 @@ def nn_1(query: jnp.ndarray, ref: jnp.ndarray, chunk: int = 8192):
     return nn_1_ref(query, ref, chunk=chunk)
 
 
+def nn_1_diag(query: jnp.ndarray, ref: jnp.ndarray, s_cap: int = 0,
+              chunk: int = 8192):
+    """K=1 NN with a shortlist-overflow diagnostic.
+
+    With ``s_cap`` > 0 on a TPU backend, dispatches to the per-tile
+    cluster-shortlist kernel (knn_pallas.nn_1_shortlist_pallas) and
+    returns (dist_sq, idx, overflow) where overflow = max(0, needed_max -
+    s_cap): a POSITIVE value means some tile needed more clusters than the
+    shortlist holds and results may be inexact — callers must surface it
+    exactly like a capacity-budget overflow (the renderer sows it into the
+    'diag' collection; bench.py asserts all counters zero).  Otherwise
+    falls back to the exact full-scan dispatch with overflow == 0."""
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon") and s_cap > 0:
+        from sherf_tpu.kernels import knn_pallas as kp
+
+        if ref.shape[0] >= 8 * kp.C_SIZE:
+            d2, idx, needed = kp.nn_1_shortlist_pallas(query, ref, s_cap)
+            return d2, idx, jnp.maximum(needed - s_cap, 0)
+    d2, idx = nn_1(query, ref, chunk=chunk)
+    return d2, idx, jnp.zeros((), jnp.int32)
+
+
+def nn_1_tables_diag(query: jnp.ndarray, ref: jnp.ndarray,
+                     tables: jnp.ndarray, s_cap: int = 0,
+                     chunk: int = 8192):
+    """nn_1_diag fused with the per-vertex payload gather: returns
+    (dist_sq, idx, tables[idx], overflow)."""
+    d2, idx, ov = nn_1_diag(query, ref, s_cap, chunk=chunk)
+    return d2, idx, jnp.take(tables, idx, axis=0), ov
+
+
 def nn_1_tables(query: jnp.ndarray, ref: jnp.ndarray, tables: jnp.ndarray,
                 chunk: int = 8192):
     """K=1 KNN fused with a per-vertex payload lookup: returns

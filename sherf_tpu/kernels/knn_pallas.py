@@ -239,6 +239,122 @@ def nn_1_clustered_pallas(query: jnp.ndarray, ref: jnp.ndarray,
     return dist[:n, 0], idx_orig
 
 
+def _knn_shortlist_kernel(ids_ref, q_ref, v_ref, dist_ref, idx_ref,
+                          *, s_cap: int):
+    """Exact K=1 over a per-tile CLUSTER SHORTLIST (no branches).
+
+    ids_ref: (T * s_cap,) int32 scalar-prefetch — for each point tile, the
+    s_cap Morton-cluster ids whose lower bound can still contain the true
+    nearest vertex of SOME tile point (computed in XLA by the wrapper;
+    provably sufficient when the tile's needed-cluster count <= s_cap,
+    which the wrapper reports for the overflow diag).  Unlike the
+    branch-and-bound kernel (54 sequential pl.when's — measured SLOWER
+    than the scan it saved), every tile unconditionally visits exactly
+    s_cap clusters via aligned dynamic lane slices: straight-line code,
+    ~s_cap*C_SIZE instead of 6890 distance columns per point."""
+    t = pl.program_id(0)
+    q = q_ref[:]                                     # (P, 3)
+    best = jnp.full((P_TILE, 1), jnp.inf, jnp.float32)
+    best_i = jnp.zeros((P_TILE, 1), jnp.int32)
+    for s in range(s_cap):
+        cid = ids_ref[t * s_cap + s]
+        base = pl.multiple_of(cid * C_SIZE, C_SIZE)
+        v = v_ref[:, pl.ds(base, C_SIZE)]            # (3, C_SIZE)
+        d2 = jnp.square(q[:, 0:1] - v[0:1, :])
+        d2 = d2 + jnp.square(q[:, 1:2] - v[1:2, :])
+        d2 = d2 + jnp.square(q[:, 2:3] - v[2:3, :])
+        m = jnp.min(d2, axis=1, keepdims=True)
+        i = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32) + base
+        upd = m < best
+        best = jnp.where(upd, m, best)
+        best_i = jnp.where(upd, i, best_i)
+    dist_ref[:] = best
+    idx_ref[:] = best_i
+
+
+def nn_1_shortlist_pallas(query: jnp.ndarray, ref: jnp.ndarray,
+                          s_cap: int, interpret: bool = False):
+    """Exact K=1 NN via per-tile Morton-cluster shortlists.
+
+    query: (N, 3); ref: (V, 3).  Returns (dist_sq (N,), idx (N,) in the
+    ORIGINAL vertex numbering, needed_max () int32).
+
+    Per 512-point tile with bounding center c and radius r_t, a cluster k
+    (centroid ctr_k, radius r_k) can contain the true NN of some tile
+    point only if  lb_k = max(0, |c - ctr_k| - r_k - r_t)^2  is <= the
+    tile NN upper bound  ub = (min_k (|c - ctr_k| + r_k) + r_t)^2.  The
+    wrapper keeps the s_cap clusters of smallest lb — every needed
+    cluster sorts before every unneeded one (needed lb <= ub < unneeded
+    lb), so the shortlist is exact whenever needed_max <= s_cap.  The
+    caller MUST treat needed_max > s_cap like a budget overflow (the
+    renderer sows it as knn_shortlist_overflow; bench asserts zero).
+
+    Compacted render queries are ray-major and spatially coherent: a tile
+    touches one or two body regions, so ~8-20 of the ~55 clusters are
+    needed where the full scan pays all 6890 columns."""
+    n = query.shape[0]
+    v = ref.shape[0]
+    order = morton_order(ref)
+    # centroid over the UNSORTED array: centered (q - ctr) - (v - ctr)
+    # pairs are then bit-identical to nn_1_pallas's (summation order of a
+    # permuted f32 mean differs by ~1 ULP, which a distance-equality
+    # regression test would see)
+    ctr0 = jnp.mean(ref.astype(jnp.float32), axis=0)
+    vs = jnp.take(ref.astype(jnp.float32), order, axis=0) - ctr0
+    v_pad = -v % C_SIZE
+    vs_pad = jnp.pad(vs, ((0, v_pad), (0, 0)), constant_values=SENTINEL)
+    n_clusters = vs_pad.shape[0] // C_SIZE
+    s_cap = min(s_cap, n_clusters)
+    cent, rad = _cluster_stats(vs_pad, v)               # (C, 3), (C,)
+
+    n_pad = -n % P_TILE
+    qt = jnp.pad(query.astype(jnp.float32) - ctr0, ((0, n_pad), (0, 0)))
+    T = qt.shape[0] // P_TILE
+    q3 = qt.reshape(T, P_TILE, 3)
+
+    # per-tile bounding sphere (elementwise math only: the MXU's default
+    # f32 matmul precision cannot corrupt these conservative bounds, but
+    # keep them inflation-guarded against elementwise rounding anyway)
+    lo_t = jnp.min(q3, axis=1)
+    hi_t = jnp.max(q3, axis=1)
+    c_t = 0.5 * (lo_t + hi_t)                           # (T, 3)
+    r_t = jnp.sqrt(jnp.max(jnp.sum(jnp.square(q3 - c_t[:, None]), -1),
+                           axis=1)) * (1.0 + 1e-5) + 1e-6
+    dct = jnp.sqrt(jnp.sum(jnp.square(c_t[:, None] - cent[None]), -1))
+    ub_r = (jnp.min(dct + rad[None], axis=1) + r_t) * (1.0 + 1e-5) + 1e-6
+    lb_r = jnp.maximum(dct - rad[None] - r_t[:, None], 0.0) * (1.0 - 1e-5)
+    needed = lb_r <= ub_r[:, None]                      # (T, C)
+    needed_max = jnp.max(jnp.sum(needed.astype(jnp.int32), axis=1))
+    ids = jnp.argsort(lb_r, axis=1)[:, :s_cap].astype(jnp.int32)
+
+    dist, idx = pl.pallas_call(
+        functools.partial(_knn_shortlist_kernel, s_cap=s_cap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((P_TILE, 3), lambda i, ids: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, vs_pad.shape[0]), lambda i, ids: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((P_TILE, 1), lambda i, ids: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P_TILE, 1), lambda i, ids: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ids.reshape(-1), qt, vs_pad.T)
+    idx_orig = jnp.take(order, jnp.minimum(idx[:n, 0], v - 1))
+    return dist[:n, 0], idx_orig, needed_max
+
+
 # smaller point tile than the KNN kernels: the segment-distance math keeps
 # ~5 (P, VT) f32 temps live (vd, vo, b, ts, dist), which at P=1024 blows
 # the 16MB scoped-vmem budget (measured: 20.8M)
@@ -247,34 +363,47 @@ RSEG_P = int(os.environ.get("SHERF_RSEG_P", "256"))
 
 def _ray_seg_kernel(r_ref, v_ref, out_ref, *, n_vtiles: int, thr: float):
     """Min squared distance from a ray LINE to the vertex set, reduced to
-    a <thr boolean.  r_ref: (P, 8) rows [o|d|near|far]; v_ref: (3, V').
+    a <thr boolean.  r_ref: (P, 8) rows [o|d|active|0]; v_ref: (3, V').
 
     For vertex v and the infinite line (o, d):
       b = d.(v - o),  a = |v - o|^2,  dist^2 = a - b^2 / |d|^2
-    Both v.d and v.o are MXU matmuls; the rest is a short elementwise
-    chain.  line min <= segment min <= min over the discrete samples, so
-    thresholding at the prune radius is a strict superset of "any sample
-    survives the exact 5cm test".  (The segment clamp to [near, far] was
-    measured ~40% slower for no ray reduction: rays whose line passes the
-    body but whose segment doesn't are already AABB-misses, and the
-    combined mask is AND-ed with mask_at_box.)"""
+    built in exact elementwise form on the VPU.  line min <= segment min
+    <= min over the discrete samples, so thresholding at the prune radius
+    is a strict superset of "any sample survives the exact 5cm test".
+    (The segment clamp to [near, far] was measured ~40% slower for no ray
+    reduction: rays whose line passes the body but whose segment doesn't
+    are already AABB-misses, and the combined mask is AND-ed with
+    mask_at_box.)
+
+    Column 6 carries the per-ray AABB-hit flag: the caller ANDs the
+    result with mask_at_box anyway, so a tile with NO hitting ray can skip
+    the whole vertex scan (rays are image-raster-ordered — background
+    tiles are the common case) and write zeros.  One branch per tile, not
+    per cluster (cf. the clustered kernels, whose per-cluster pl.when
+    chain measured slower than the scan it saved)."""
     r = r_ref[:]
     o, d = r[:, 0:3], r[:, 3:6]
-    dd_inv = 1.0 / jnp.maximum(jnp.sum(d * d, axis=1, keepdims=True), 1e-12)
-    best = jnp.full((r.shape[0], 1), jnp.inf, jnp.float32)
-    for t in range(n_vtiles):
-        v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]          # (3, VT)
-        # exact elementwise form: a = |v-o|^2 and b = d.(v-o) built from
-        # true f32 per-coordinate differences (the matmul expansion at
-        # DEFAULT MXU precision erred ~5e-2 m^2 and dropped real rays)
-        w0 = v[0:1, :] - o[:, 0:1]
-        w1 = v[1:2, :] - o[:, 1:2]
-        w2 = v[2:3, :] - o[:, 2:3]
-        a = jnp.square(w0) + jnp.square(w1) + jnp.square(w2)
-        b = d[:, 0:1] * w0 + d[:, 1:2] * w1 + d[:, 2:3] * w2
-        dist = a - b * b * dd_inv
-        best = jnp.minimum(best, jnp.min(dist, axis=1, keepdims=True))
-    out_ref[:] = (best < thr).astype(jnp.int32)
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.max(r[:, 6]) > 0.0)
+    def _():
+        dd_inv = 1.0 / jnp.maximum(jnp.sum(d * d, axis=1, keepdims=True),
+                                   1e-12)
+        best = jnp.full((r.shape[0], 1), jnp.inf, jnp.float32)
+        for t in range(n_vtiles):
+            v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]      # (3, VT)
+            # exact elementwise form: a = |v-o|^2 and b = d.(v-o) built
+            # from true f32 per-coordinate differences (the matmul
+            # expansion at DEFAULT MXU precision erred ~5e-2 m^2 and
+            # dropped real rays)
+            w0 = v[0:1, :] - o[:, 0:1]
+            w1 = v[1:2, :] - o[:, 1:2]
+            w2 = v[2:3, :] - o[:, 2:3]
+            a = jnp.square(w0) + jnp.square(w1) + jnp.square(w2)
+            b = d[:, 0:1] * w0 + d[:, 1:2] * w1 + d[:, 2:3] * w2
+            dist = a - b * b * dd_inv
+            best = jnp.minimum(best, jnp.min(dist, axis=1, keepdims=True))
+        out_ref[:] = (best < thr).astype(jnp.int32)
 
 
 def _ray_seg_cluster_kernel(r_ref, v_ref, c_ref, rad_ref, out_ref, hit_scr,
@@ -373,10 +502,17 @@ def ray_body_mask_clustered_pallas(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
 def ray_body_mask_pallas(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
                          near: jnp.ndarray, far: jnp.ndarray,
                          verts: jnp.ndarray, threshold_sq: float,
-                         interpret: bool = None):
+                         interpret: bool = None,
+                         active: jnp.ndarray = None):
     """(N,) bool: does the ray segment [near, far] pass within
     sqrt(threshold_sq) of ANY vertex?  False -> every sample of the ray
     fails the exact prune test and the ray composites to background.
+
+    ``active`` (optional (N,) bool): rays already known dead (AABB miss);
+    a 256-ray tile whose rays are ALL inactive skips the vertex scan and
+    returns False for the tile (the caller ANDs with the same mask, so
+    the combined result is unchanged — at 512^2 only ~30% of tiles
+    contain a body ray).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -385,9 +521,11 @@ def ray_body_mask_pallas(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
     n_pad = -n % RSEG_P
     v_pad = -v % V_TILE
     ctr = jnp.mean(verts.astype(jnp.float32), axis=0)
+    act = (jnp.ones((n,), jnp.float32) if active is None
+           else active.astype(jnp.float32))
     rows = jnp.concatenate([
         ray_o.astype(jnp.float32) - ctr, ray_d.astype(jnp.float32),
-        near.astype(jnp.float32)[:, None], far.astype(jnp.float32)[:, None],
+        act[:, None], jnp.zeros((n, 1), jnp.float32),
     ], axis=-1)
     rows = jnp.pad(rows, ((0, n_pad), (0, 0)))
     vt = jnp.pad(verts.astype(jnp.float32) - ctr, ((0, v_pad), (0, 0)),

@@ -43,7 +43,8 @@ from sherf_tpu.kernels.grid_sample import (
     pack_corners_2d, pack_x_2d)
 from sherf_tpu.kernels.capsules import prune_mask
 from sherf_tpu.kernels.compaction import compact_mask
-from sherf_tpu.kernels.knn import nn_1, nn_1_tables
+from sherf_tpu.kernels.knn import (nn_1, nn_1_diag, nn_1_tables,
+                                   nn_1_tables_diag)
 from sherf_tpu.kernels.occupancy import occupancy_mask, strided_occupancy
 from sherf_tpu.nerf.decoders import NeRFDecoder, OSGDecoder
 from sherf_tpu.nerf.march import ray_march, ray_march_segmented
@@ -242,12 +243,20 @@ class SHERFRenderer(nn.Module):
                 # rotation, so distances match the SMPL-frame test); python
                 # loop over B — vmapped gathers loop-ify (see setup note).
                 # The depth-stride trick is only sound when the per-ray step
-                # stays within prune_step_margin — guaranteed statically for
-                # fine grids (calibrate_budgets asserts the real bound);
-                # coarse grids (D < 24: steps can reach ~1m through a body
-                # AABB) silently dropped exact-surviving samples, so they
-                # test every sample.
+                # stays within prune_step_margin — calibrate_budgets fits
+                # the margin to the scene's measured max step, and the
+                # step_overflow diag below catches a frame that exceeds it
+                # (in mm, like the capacity counters); coarse grids (D < 24:
+                # steps can reach ~1m through a body AABB) silently dropped
+                # exact-surviving samples, so they test every sample.
                 stride = rc.prune_stride if D >= 24 else 1
+                if stride > 1:
+                    step_f = (far - near) / (D - 1)               # (B, N)
+                    self._sow_overflow(
+                        "step_overflow",
+                        jnp.ceil((jnp.max(step_f, axis=1)
+                                  - rc.prune_step_margin) * 1e3
+                                 ).astype(jnp.int32))
                 occ = jnp.stack([
                     strided_occupancy(pts[b].reshape(N, D, 3), vertices[b],
                                       radius=radius, stride=stride,
@@ -289,15 +298,29 @@ class SHERFRenderer(nn.Module):
             tab_t2c = jax.vmap(
                 lambda ct, cb: target2c_tables(smpl, ct, cb)
             )(ctx_target, ctx_big)
+            # compacted queries are ray-major and body-proximal, so the
+            # per-tile cluster shortlist applies (python loop over the
+            # static batch — the scalar-prefetch kernel must not be
+            # vmapped); overflow is sown like every capacity budget
+            slc = rc.knn_shortlist
             if rc.exact_capacity_frac < 1.0:
                 # plain KNN only (the payload is gathered from the small
                 # per-vertex table AFTER the second compaction — cheaper
                 # than carrying a (cap, 33) payload through it)
-                d2_s, vid_s = jax.vmap(nn_1)(q_s, tar_smpl)
+                outs = [nn_1_diag(q_s[b], tar_smpl[b], slc)
+                        for b in range(B)]
+                d2_s = jnp.stack([o[0] for o in outs])
+                vid_s = jnp.stack([o[1] for o in outs])
                 pay_t2c = None
             else:
-                d2_s, vid_s, pay_t2c = jax.vmap(nn_1_tables)(q_s, tar_smpl,
-                                                             tab_t2c)
+                outs = [nn_1_tables_diag(q_s[b], tar_smpl[b], tab_t2c[b],
+                                         slc) for b in range(B)]
+                d2_s = jnp.stack([o[0] for o in outs])
+                vid_s = jnp.stack([o[1] for o in outs])
+                pay_t2c = jnp.stack([o[2] for o in outs])
+            self._sow_overflow(
+                "knn_shortlist_overflow",
+                jnp.stack([o[-1] for o in outs]))
             exact_s = valid & (d2_s < rc.prune_threshold_sq)
 
             # ---- second compaction: exact-test failures composite as empty
@@ -436,14 +459,20 @@ class SHERFRenderer(nn.Module):
         # oracle tests) the per-cluster pl.when emulation is far slower
         # than the plain kernel, and the clustered/full equivalence has its
         # own dedicated tests (test_knn.py)
-        ray_fn = (kp.ray_body_mask_clustered_pallas
-                  if (kp.CLUSTERED and vertices.shape[1] >= 8 * kp.C_SIZE
-                      and jax.default_backend() in ("tpu", "axon"))
-                  else kp.ray_body_mask_pallas)
-        ray_mask = ray_mask & jnp.stack([
-            ray_fn(ray_o[b], ray_d[b], near[b], far[b],
-                   vertices[b], thr_ray)
-            for b in range(B)])
+        if (kp.CLUSTERED and vertices.shape[1] >= 8 * kp.C_SIZE
+                and jax.default_backend() in ("tpu", "axon")):
+            ray_mask = ray_mask & jnp.stack([
+                kp.ray_body_mask_clustered_pallas(
+                    ray_o[b], ray_d[b], near[b], far[b], vertices[b],
+                    thr_ray)
+                for b in range(B)])
+        else:
+            # AABB mask forwarded so all-miss ray tiles skip the scan
+            ray_mask = ray_mask & jnp.stack([
+                kp.ray_body_mask_pallas(ray_o[b], ray_d[b], near[b],
+                                        far[b], vertices[b], thr_ray,
+                                        active=ray_mask[b])
+                for b in range(B)])
         depth_lo = jnp.min(near, axis=1)           # (B,) dense-path clip
         depth_hi = jnp.max(far, axis=1)
         rcap = _round_up(max(int(N * rc.ray_capacity_frac), 128), 128)
@@ -543,7 +572,12 @@ class SHERFRenderer(nn.Module):
         q_s = _geinsum("bnc,bcd->bnd",
                          pts_s - ctx_target.Th[:, None], ctx_target.R)
         qd_s = _geinsum("bnc,bcd->bnd", dirs_s, ctx_target.R)
-        d2_s, _, pay_t2c = jax.vmap(nn_1_tables)(q_s, tar_smpl, tab_t2c)
+        outs = [nn_1_tables_diag(q_s[b], tar_smpl[b], tab_t2c[b],
+                                 rc.knn_shortlist) for b in range(B)]
+        d2_s = jnp.stack([o[0] for o in outs])
+        pay_t2c = jnp.stack([o[2] for o in outs])
+        self._sow_overflow("knn_shortlist_overflow",
+                           jnp.stack([o[-1] for o in outs]))
         exact_s = valid & (d2_s < rc.prune_threshold_sq)
 
         can, can_dir = jax.vmap(
@@ -812,7 +846,17 @@ class SHERFRenderer(nn.Module):
             tab_c2s = jax.vmap(
                 lambda cs, cb: c2source_tables(smpl, cs, cb)
             )(ctx_obs, ctx_big)
-            _, _, pay_c2s = jax.vmap(nn_1_tables)(can, t_vertices, tab_c2s)
+            # budgeted-mode queries arrive compacted (ray-major, body-
+            # proximal) -> cluster shortlist; parity mode keeps the full
+            # scan (its 12.6M-sample grid has incoherent tiles)
+            slc = (cfg.render.knn_shortlist
+                   if cfg.render.point_capacity_frac < 1.0 else 0)
+            outs = [nn_1_tables_diag(can[b], t_vertices[b], tab_c2s[b],
+                                     slc) for b in range(can.shape[0])]
+            pay_c2s = jnp.stack([o[2] for o in outs])
+            self._sow_overflow(
+                "knn_shortlist_overflow",
+                jnp.stack([o[-1] for o in outs]))
             _, world_src, _ = jax.vmap(
                 lambda cs, cb, pay, qq: deform_c2source_from_tables(
                     cs, cb, pay, qq)

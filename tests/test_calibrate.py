@@ -93,16 +93,26 @@ def test_calibrate_worst_over_batches(scene):
         assert worst_two[k] == max(m1[k], m2[k])
 
 
-def test_calibrate_rejects_oversized_step():
+def test_calibrate_fits_step_margin_to_scene():
+    """calibrate_budgets must REPLACE prune_step_margin with the scene's
+    measured max per-ray depth step (snapped up to 5mm): an undersized
+    configured margin would silently lose coverage of stride-skipped
+    samples, and an oversized one widens the conservative ball the exact
+    KNN has to re-test (r4: the static 0.06 default nearly doubled the
+    occupancy survivors on the production scene)."""
     smpl = synthetic_smpl(0)
     batch = make_synthetic_batch(smpl, batch_size=1, H=16, W=16, seed=0)
-    # at D >= 24 the stride trick is active, so an undersized dilation
-    # margin must be rejected (skipped samples would lose coverage)
-    cfg = ModelConfig(render=RenderConfig(depth_resolution=24,
+    D = 24
+    # configured margin is far too small: the fit must correct it
+    cfg = ModelConfig(render=RenderConfig(depth_resolution=D,
                                           prune_step_margin=1e-3,
                                           density_noise=0.0))
-    with pytest.raises(AssertionError, match="prune_step_margin"):
-        calibrate_budgets([batch], cfg)
+    fitted, worst = calibrate_budgets([batch], cfg)
+    step_max = float(jnp.max((batch.far - batch.near) / (D - 1)))
+    assert fitted.prune_step_margin >= step_max
+    assert fitted.prune_step_margin <= step_max + 0.005 + 1e-9
+    assert abs(fitted.prune_step_margin / 0.005
+               - round(fitted.prune_step_margin / 0.005)) < 1e-9
 
 
 def test_calibrate_coarse_grid_uses_stride_one():

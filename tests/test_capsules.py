@@ -70,6 +70,50 @@ def test_unassigned_bones_never_hit():
     assert not bool(jnp.any(hit))
 
 
+def test_distance_grid_exact_within_window():
+    """The truncated separable EDT must equal the brute-force squared
+    cell distance wherever that distance is within the window."""
+    from sherf_tpu.kernels.occupancy import distance_grid
+
+    rng = np.random.RandomState(3)
+    G, cell, w = 24, 0.05, 6
+    verts = jnp.asarray(rng.uniform(0.1, G * 0.05 - 0.1,
+                                    (40, 3)).astype(np.float32))
+    lo = jnp.zeros(3)
+    d2 = np.asarray(distance_grid(verts, lo, w, cell=cell, grid_size=G))
+
+    vidx = np.floor(np.asarray(verts) / cell).astype(np.int64)
+    grid = np.stack(np.meshgrid(*[np.arange(G)] * 3, indexing="ij"), -1)
+    brute = ((grid[..., None, :] - vidx) ** 2).sum(-1).min(-1)
+    inside = brute <= w * w
+    assert (d2[inside] == brute[inside]).all()
+    assert (d2[~inside] > w * w).all()
+
+
+def test_occupancy_ball_superset_and_tighter_than_box():
+    """EDT-ball mask: contains every exact-within-radius point, and admits
+    meaningfully less volume than the old separable box dilation did."""
+    from sherf_tpu.kernels.occupancy import occupancy_mask
+
+    smpl, verts, _ = _posed()
+    rng = np.random.RandomState(7)
+    lo = np.asarray(verts).min(0) - 0.3
+    hi = np.asarray(verts).max(0) + 0.3
+    pts = jnp.asarray(
+        (rng.uniform(0, 1, (60000, 3)) * (hi - lo) + lo).astype(np.float32))
+    radius = 0.05
+    mask = np.asarray(occupancy_mask(pts, verts, radius=radius))
+    d2 = np.asarray(nn_1_ref(pts, verts)[0])
+    exact = d2 < radius ** 2
+    assert (mask | ~exact).all(), "ball mask missed exact survivors"
+    # tightness: nothing beyond radius + sqrt(3)*cell + cell diagonal slack
+    # may be admitted (the box corners used to reach ~2.4x the radius)
+    from sherf_tpu.kernels.occupancy import CELL
+    limit = (radius + 2.0 * np.sqrt(3.0) * CELL) ** 2
+    admitted_far = mask & (d2 > limit)
+    assert admitted_far.sum() == 0, admitted_far.sum()
+
+
 def test_strided_occupancy_superset_of_exact():
     """The strided voxel mask must contain every sample within the exact
     5cm-of-a-vertex set whenever the per-ray depth step <= the margin."""

@@ -77,6 +77,45 @@ def test_nn_1_tables_matches_gather():
     np.testing.assert_allclose(np.asarray(pay2), pay_ref, atol=1e-5)
 
 
+def test_nn_shortlist_matches_full_scan():
+    """The per-tile cluster-shortlist kernel is EXACT whenever needed_max
+    <= s_cap: identical d2 to the full scan, and the argmin points at a
+    vertex with that exact distance (visit order over clusters may break
+    distance ties differently)."""
+    from sherf_tpu.kernels.knn_pallas import nn_1_pallas, nn_1_shortlist_pallas
+
+    rng = np.random.RandomState(6)
+    v = (rng.randn(1500, 3) * 0.4).astype(np.float32)
+    # production-like queries: ray-major tiles hug one body region at a
+    # time — emulate with sorted surface offsets (spatially coherent)
+    q = v[np.argsort(v[:, 0])][rng.randint(0, 1500, 1024) // 2 * 2]
+    q = q + rng.randn(1024, 3).astype(np.float32) * 0.03
+    d_full, _ = nn_1_pallas(jnp.asarray(q), jnp.asarray(v), interpret=True)
+    d_s, i_s, needed = nn_1_shortlist_pallas(jnp.asarray(q), jnp.asarray(v),
+                                             s_cap=12, interpret=True)
+    assert int(needed) <= 12, f"shortlist overflow in test setup: {needed}"
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_full),
+                               rtol=2e-6, atol=1e-9)
+    # idx must realize the reported distance exactly (f64 check)
+    q64, v64 = q.astype(np.float64), v.astype(np.float64)
+    d_at_idx = ((q64 - v64[np.asarray(i_s)]) ** 2).sum(-1)
+    d64_min = ((q64[:, None] - v64[None]) ** 2).sum(-1).min(1)
+    np.testing.assert_allclose(d_at_idx, d64_min, rtol=1e-5, atol=1e-7)
+
+
+def test_nn_shortlist_reports_overflow():
+    """Scattered (incoherent) tiles need more clusters than a tiny cap —
+    needed_max must report it instead of failing silently."""
+    from sherf_tpu.kernels.knn_pallas import nn_1_shortlist_pallas
+
+    rng = np.random.RandomState(7)
+    v = (rng.randn(2048, 3) * 0.5).astype(np.float32)
+    q = rng.uniform(-1.5, 1.5, (512, 3)).astype(np.float32)  # incoherent
+    _, _, needed = nn_1_shortlist_pallas(jnp.asarray(q), jnp.asarray(v),
+                                         s_cap=2, interpret=True)
+    assert int(needed) > 2
+
+
 def test_nn_clustered_matches_full_scan():
     """The branch-and-bound clustered kernel (Morton clusters + bound-
     justified skipping) is EXACT: identical d2 (same elementwise f32
@@ -213,3 +252,32 @@ def test_ray_body_mask_superset_and_tight():
     d2 = ((pts[:, :, None] - np.asarray(verts)[None, None]) ** 2).sum(-1)
     sample_hit = (d2.min(axis=(1, 2)) < thr)
     assert not np.any(sample_hit & ~mask), "mask dropped a surviving ray"
+
+
+def test_ray_body_mask_active_tile_skip():
+    """With an `active` mask, all-inactive 256-ray tiles skip the scan and
+    return False; tiles containing ANY active ray compute the full result
+    (the caller ANDs with `active`, so combined output is unchanged)."""
+    from sherf_tpu.kernels.knn_pallas import RSEG_P, ray_body_mask_pallas
+
+    rng = np.random.RandomState(5)
+    V = 200
+    verts = jnp.asarray(rng.randn(V, 3).astype(np.float32) * 0.3)
+    N = 3 * RSEG_P
+    o = jnp.asarray(rng.randn(N, 3).astype(np.float32) * 2.0)
+    d = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+    near = jnp.asarray(rng.uniform(0.5, 1.0, N).astype(np.float32))
+    far = near + 1.0
+    thr = 0.3 ** 2
+
+    active = np.ones(N, bool)
+    active[:RSEG_P] = False                 # tile 0 fully inactive
+    active[RSEG_P] = False                  # tile 1 mixed
+    full = np.asarray(ray_body_mask_pallas(o, d, near, far, verts, thr,
+                                           interpret=True))
+    gated = np.asarray(ray_body_mask_pallas(o, d, near, far, verts, thr,
+                                            interpret=True,
+                                            active=jnp.asarray(active)))
+    assert not gated[:RSEG_P].any(), "inactive tile must be skipped"
+    np.testing.assert_array_equal(gated[RSEG_P:], full[RSEG_P:])
+    np.testing.assert_array_equal(gated & active, full & active)
