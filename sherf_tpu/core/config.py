@@ -76,13 +76,16 @@ class RenderConfig:
     # on AND point_capacity_frac < 1 (budgeted mode); the parity-mode
     # importance path stays full-compute dense.
     importance_capacity_frac: Optional[float] = None
-    # Per-tile cluster-shortlist cap for the exact-KNN kernels (budgeted
-    # mode, TPU backends only): each 512-point tile visits at most this
-    # many 128-vertex Morton clusters instead of the full vertex scan.
-    # Exact whenever every tile's needed-cluster count fits the cap — the
-    # renderer sows knn_shortlist_overflow otherwise (same contract as the
-    # capacity budgets; bench.py asserts zero).  0 disables (full scan).
-    knn_shortlist: int = 24
+    # Per-tile cluster-shortlist toggle for the exact-KNN kernels
+    # (budgeted mode, TPU backends only): nonzero routes compacted-query
+    # KNNs through the dynamic-count Morton-cluster kernel
+    # (knn_pallas.nn_1_shortlist_pallas).  DEFAULT 0 (full scan): the
+    # r4 A/B measured the cluster-visiting kernel at 258 ms/frame vs 120
+    # for the straight-line full scan — like the branch-and-bound variant
+    # before it, per-visit overhead (dynamic slices + scalar reads +
+    # loop control) dwarfs the column savings at V=6890.  The kernel
+    # stays exact-pinned by tests for larger vertex sets.
+    knn_shortlist: int = 0
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self))

@@ -84,14 +84,14 @@ def morton_order(verts: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(code).astype(jnp.int32)
 
 
-def _cluster_stats(vs_pad: jnp.ndarray, n_real: int):
-    """Per-cluster centroid and radius over consecutive C_SIZE chunks.
-    vs_pad: (C*C_SIZE, 3) Morton-sorted vertices, rows >= n_real padding.
+def _cluster_stats_sized(vs_pad: jnp.ndarray, n_real: int, csize: int):
+    """Per-cluster centroid and radius over consecutive `csize` chunks.
+    vs_pad: (C*csize, 3) Morton-sorted vertices, rows >= n_real padding.
     The radius carries a small inflation so every f32-rounded bound built
     from it stays CONSERVATIVE (never prunes the true nearest vertex)."""
-    C = vs_pad.shape[0] // C_SIZE
-    grp = vs_pad.reshape(C, C_SIZE, 3)
-    mask = jnp.arange(C * C_SIZE).reshape(C, C_SIZE) < n_real
+    C = vs_pad.shape[0] // csize
+    grp = vs_pad.reshape(C, csize, 3)
+    mask = jnp.arange(C * csize).reshape(C, csize) < n_real
     cnt = jnp.maximum(jnp.sum(mask, axis=1), 1)[:, None]
     ctr = jnp.sum(jnp.where(mask[..., None], grp, 0.0), axis=1) / cnt
     r2 = jnp.max(jnp.where(mask, jnp.sum(jnp.square(grp - ctr[:, None]), -1),
@@ -101,6 +101,10 @@ def _cluster_stats(vs_pad: jnp.ndarray, n_real: int):
     # their lower bound is astronomically large -> never visited
     ctr = jnp.where((jnp.sum(mask, axis=1) == 0)[:, None], SENTINEL, ctr)
     return ctr, rad
+
+
+def _cluster_stats(vs_pad: jnp.ndarray, n_real: int):
+    return _cluster_stats_sized(vs_pad, n_real, C_SIZE)
 
 
 def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
@@ -239,59 +243,75 @@ def nn_1_clustered_pallas(query: jnp.ndarray, ref: jnp.ndarray,
     return dist[:n, 0], idx_orig
 
 
-def _knn_shortlist_kernel(ids_ref, q_ref, v_ref, dist_ref, idx_ref,
-                          *, s_cap: int):
-    """Exact K=1 over a per-tile CLUSTER SHORTLIST (no branches).
+# shortlist-kernel cluster size: bigger than the branch-and-bound C_SIZE
+# so the dynamic per-cluster loop amortizes its per-iteration overhead
+# (each visit is one (P, SL_CSIZE) distance tile)
+SL_CSIZE = int(os.environ.get("SHERF_KNN_SL_CSIZE", "256"))
 
-    ids_ref: (T * s_cap,) int32 scalar-prefetch — for each point tile, the
-    s_cap Morton-cluster ids whose lower bound can still contain the true
-    nearest vertex of SOME tile point (computed in XLA by the wrapper;
-    provably sufficient when the tile's needed-cluster count <= s_cap,
-    which the wrapper reports for the overflow diag).  Unlike the
-    branch-and-bound kernel (54 sequential pl.when's — measured SLOWER
-    than the scan it saved), every tile unconditionally visits exactly
-    s_cap clusters via aligned dynamic lane slices: straight-line code,
-    ~s_cap*C_SIZE instead of 6890 distance columns per point."""
+
+def _knn_shortlist_kernel(meta_ref, q_ref, v_ref, dist_ref, idx_ref,
+                          *, width: int, csize: int):
+    """Exact K=1 over a per-tile CLUSTER SHORTLIST with a dynamic visit
+    count.
+
+    meta_ref (scalar prefetch): first T entries = per-tile needed-cluster
+    counts; then T*width entries = per-tile cluster ids sorted by lower
+    bound (wrapper computes both; the first count ids provably contain
+    the true nearest vertex of every tile point).  Each visit is one
+    aligned dynamic lane slice + a (P, csize) exact elementwise distance
+    tile — a bounded fori_loop, so a coherent tile pays ~a handful of
+    cluster visits where the full scan pays all 6890 columns, and an
+    incoherent tile (image-scanline wrap: its points straddle the whole
+    body) degrades gracefully to the full scan instead of overflowing a
+    fixed shortlist (r4: worst production tile needed ALL clusters)."""
     t = pl.program_id(0)
+    n_t = pl.num_programs(0)
     q = q_ref[:]                                     # (P, 3)
-    best = jnp.full((P_TILE, 1), jnp.inf, jnp.float32)
-    best_i = jnp.zeros((P_TILE, 1), jnp.int32)
-    for s in range(s_cap):
-        cid = ids_ref[t * s_cap + s]
-        base = pl.multiple_of(cid * C_SIZE, C_SIZE)
-        v = v_ref[:, pl.ds(base, C_SIZE)]            # (3, C_SIZE)
+    cnt = meta_ref[t]
+
+    def body(s, carry):
+        best, best_i = carry
+        cid = meta_ref[n_t + t * width + s]
+        base = pl.multiple_of(cid * csize, csize)
+        v = v_ref[:, pl.ds(base, csize)]             # (3, csize)
         d2 = jnp.square(q[:, 0:1] - v[0:1, :])
         d2 = d2 + jnp.square(q[:, 1:2] - v[1:2, :])
         d2 = d2 + jnp.square(q[:, 2:3] - v[2:3, :])
         m = jnp.min(d2, axis=1, keepdims=True)
-        i = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32) + base
+        i = (jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32)
+             + base)
         upd = m < best
-        best = jnp.where(upd, m, best)
-        best_i = jnp.where(upd, i, best_i)
+        return jnp.where(upd, m, best), jnp.where(upd, i, best_i)
+
+    best, best_i = jax.lax.fori_loop(
+        0, cnt, body, (jnp.full((q.shape[0], 1), jnp.inf, jnp.float32),
+                       jnp.zeros((q.shape[0], 1), jnp.int32)))
     dist_ref[:] = best
     idx_ref[:] = best_i
 
 
 def nn_1_shortlist_pallas(query: jnp.ndarray, ref: jnp.ndarray,
-                          s_cap: int, interpret: bool = False):
+                          s_cap: int = 0, interpret: bool = False,
+                          csize: int = None):
     """Exact K=1 NN via per-tile Morton-cluster shortlists.
 
     query: (N, 3); ref: (V, 3).  Returns (dist_sq (N,), idx (N,) in the
-    ORIGINAL vertex numbering, needed_max () int32).
+    ORIGINAL vertex numbering, overflow () int32 — always 0: the id list
+    is complete, the per-tile visit COUNT is dynamic).  ``s_cap`` is kept
+    for API compatibility and ignored (the dynamic form cannot overflow).
 
     Per 512-point tile with bounding center c and radius r_t, a cluster k
     (centroid ctr_k, radius r_k) can contain the true NN of some tile
     point only if  lb_k = max(0, |c - ctr_k| - r_k - r_t)^2  is <= the
-    tile NN upper bound  ub = (min_k (|c - ctr_k| + r_k) + r_t)^2.  The
-    wrapper keeps the s_cap clusters of smallest lb — every needed
-    cluster sorts before every unneeded one (needed lb <= ub < unneeded
-    lb), so the shortlist is exact whenever needed_max <= s_cap.  The
-    caller MUST treat needed_max > s_cap like a budget overflow (the
-    renderer sows it as knn_shortlist_overflow; bench asserts zero).
-
-    Compacted render queries are ray-major and spatially coherent: a tile
-    touches one or two body regions, so ~8-20 of the ~55 clusters are
-    needed where the full scan pays all 6890 columns."""
+    tile NN upper bound  ub = (min_k (|c - ctr_k| + r_k) + r_t)^2 — every
+    needed cluster's lb sorts before every unneeded one (needed lb <= ub
+    < unneeded lb), so visiting the first `count` ids of the lb-sorted
+    order is exact.  Compacted render queries are ray-major and
+    spatially coherent: most tiles touch one or two body regions and
+    visit a handful of the ~28 clusters."""
+    del s_cap
+    if csize is None:
+        csize = SL_CSIZE
     n = query.shape[0]
     v = ref.shape[0]
     order = morton_order(ref)
@@ -301,11 +321,10 @@ def nn_1_shortlist_pallas(query: jnp.ndarray, ref: jnp.ndarray,
     # regression test would see)
     ctr0 = jnp.mean(ref.astype(jnp.float32), axis=0)
     vs = jnp.take(ref.astype(jnp.float32), order, axis=0) - ctr0
-    v_pad = -v % C_SIZE
+    v_pad = -v % csize
     vs_pad = jnp.pad(vs, ((0, v_pad), (0, 0)), constant_values=SENTINEL)
-    n_clusters = vs_pad.shape[0] // C_SIZE
-    s_cap = min(s_cap, n_clusters)
-    cent, rad = _cluster_stats(vs_pad, v)               # (C, 3), (C,)
+    n_clusters = vs_pad.shape[0] // csize
+    cent, rad = _cluster_stats_sized(vs_pad, v, csize)  # (C, 3), (C,)
 
     n_pad = -n % P_TILE
     qt = jnp.pad(query.astype(jnp.float32) - ctr0, ((0, n_pad), (0, 0)))
@@ -324,24 +343,26 @@ def nn_1_shortlist_pallas(query: jnp.ndarray, ref: jnp.ndarray,
     ub_r = (jnp.min(dct + rad[None], axis=1) + r_t) * (1.0 + 1e-5) + 1e-6
     lb_r = jnp.maximum(dct - rad[None] - r_t[:, None], 0.0) * (1.0 - 1e-5)
     needed = lb_r <= ub_r[:, None]                      # (T, C)
-    needed_max = jnp.max(jnp.sum(needed.astype(jnp.int32), axis=1))
-    ids = jnp.argsort(lb_r, axis=1)[:, :s_cap].astype(jnp.int32)
+    counts = jnp.sum(needed.astype(jnp.int32), axis=1)  # (T,)
+    ids = jnp.argsort(lb_r, axis=1).astype(jnp.int32)   # (T, C)
+    meta = jnp.concatenate([counts, ids.reshape(-1)])
 
     dist, idx = pl.pallas_call(
-        functools.partial(_knn_shortlist_kernel, s_cap=s_cap),
+        functools.partial(_knn_shortlist_kernel, width=n_clusters,
+                          csize=csize),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T,),
             in_specs=[
-                pl.BlockSpec((P_TILE, 3), lambda i, ids: (i, 0),
+                pl.BlockSpec((P_TILE, 3), lambda i, meta: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, vs_pad.shape[0]), lambda i, ids: (0, 0),
+                pl.BlockSpec((3, vs_pad.shape[0]), lambda i, meta: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((P_TILE, 1), lambda i, ids: (i, 0),
+                pl.BlockSpec((P_TILE, 1), lambda i, meta: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P_TILE, 1), lambda i, ids: (i, 0),
+                pl.BlockSpec((P_TILE, 1), lambda i, meta: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
@@ -350,9 +371,9 @@ def nn_1_shortlist_pallas(query: jnp.ndarray, ref: jnp.ndarray,
             jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.int32),
         ],
         interpret=interpret,
-    )(ids.reshape(-1), qt, vs_pad.T)
+    )(meta, qt, vs_pad.T)
     idx_orig = jnp.take(order, jnp.minimum(idx[:n, 0], v - 1))
-    return dist[:n, 0], idx_orig, needed_max
+    return dist[:n, 0], idx_orig, jnp.zeros((), jnp.int32)
 
 
 # smaller point tile than the KNN kernels: the segment-distance math keeps

@@ -91,9 +91,10 @@ def test_nn_shortlist_matches_full_scan():
     q = v[np.argsort(v[:, 0])][rng.randint(0, 1500, 1024) // 2 * 2]
     q = q + rng.randn(1024, 3).astype(np.float32) * 0.03
     d_full, _ = nn_1_pallas(jnp.asarray(q), jnp.asarray(v), interpret=True)
-    d_s, i_s, needed = nn_1_shortlist_pallas(jnp.asarray(q), jnp.asarray(v),
-                                             s_cap=12, interpret=True)
-    assert int(needed) <= 12, f"shortlist overflow in test setup: {needed}"
+    d_s, i_s, overflow = nn_1_shortlist_pallas(jnp.asarray(q),
+                                               jnp.asarray(v),
+                                               interpret=True)
+    assert int(overflow) == 0
     np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_full),
                                rtol=2e-6, atol=1e-9)
     # idx must realize the reported distance exactly (f64 check)
@@ -103,17 +104,24 @@ def test_nn_shortlist_matches_full_scan():
     np.testing.assert_allclose(d_at_idx, d64_min, rtol=1e-5, atol=1e-7)
 
 
-def test_nn_shortlist_reports_overflow():
-    """Scattered (incoherent) tiles need more clusters than a tiny cap —
-    needed_max must report it instead of failing silently."""
+def test_nn_shortlist_exact_on_incoherent_tiles():
+    """Tiles whose points straddle the whole domain (image-scanline wraps
+    in production) must degrade to visiting more clusters — the dynamic
+    visit count keeps results EXACT instead of overflowing a fixed
+    shortlist (r4: the fixed-cap variant overflowed on scanline wraps)."""
     from sherf_tpu.kernels.knn_pallas import nn_1_shortlist_pallas
 
     rng = np.random.RandomState(7)
     v = (rng.randn(2048, 3) * 0.5).astype(np.float32)
     q = rng.uniform(-1.5, 1.5, (512, 3)).astype(np.float32)  # incoherent
-    _, _, needed = nn_1_shortlist_pallas(jnp.asarray(q), jnp.asarray(v),
-                                         s_cap=2, interpret=True)
-    assert int(needed) > 2
+    d_s, i_s, _ = nn_1_shortlist_pallas(jnp.asarray(q), jnp.asarray(v),
+                                        interpret=True)
+    q64, v64 = q.astype(np.float64), v.astype(np.float64)
+    d64 = ((q64[:, None] - v64[None]) ** 2).sum(-1)
+    d_at_idx = ((q64 - v64[np.asarray(i_s)]) ** 2).sum(-1)
+    np.testing.assert_allclose(d_at_idx, d64.min(1), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(d_s), d64.min(1), rtol=1e-5,
+                               atol=1e-7)
 
 
 def test_nn_clustered_matches_full_scan():
