@@ -298,29 +298,43 @@ class SHERFRenderer(nn.Module):
             tab_t2c = jax.vmap(
                 lambda ct, cb: target2c_tables(smpl, ct, cb)
             )(ctx_target, ctx_big)
-            # compacted queries are ray-major and body-proximal, so the
-            # per-tile cluster shortlist applies (python loop over the
-            # static batch — the scalar-prefetch kernel must not be
-            # vmapped); overflow is sown like every capacity budget
+            # compacted queries are ray-major and body-proximal; the
+            # cluster-shortlist kernel applies when rc.knn_shortlist > 0
+            # (default off — see config; the full scan measured faster).
+            # Python loop over the static batch only when the shortlist's
+            # scalar-prefetch kernel is in play; the vmapped full scan is
+            # the production form (restructuring it to a loop + stack
+            # measured +36 ms/frame of broken fusion, r4).
             slc = rc.knn_shortlist
             if rc.exact_capacity_frac < 1.0:
                 # plain KNN only (the payload is gathered from the small
                 # per-vertex table AFTER the second compaction — cheaper
                 # than carrying a (cap, 33) payload through it)
-                outs = [nn_1_diag(q_s[b], tar_smpl[b], slc)
-                        for b in range(B)]
-                d2_s = jnp.stack([o[0] for o in outs])
-                vid_s = jnp.stack([o[1] for o in outs])
+                if slc > 0:
+                    outs = [nn_1_diag(q_s[b], tar_smpl[b], slc)
+                            for b in range(B)]
+                    d2_s = jnp.stack([o[0] for o in outs])
+                    vid_s = jnp.stack([o[1] for o in outs])
+                    self._sow_overflow(
+                        "knn_shortlist_overflow",
+                        jnp.stack([o[-1] for o in outs]))
+                else:
+                    d2_s, vid_s = jax.vmap(nn_1)(q_s, tar_smpl)
                 pay_t2c = None
             else:
-                outs = [nn_1_tables_diag(q_s[b], tar_smpl[b], tab_t2c[b],
-                                         slc) for b in range(B)]
-                d2_s = jnp.stack([o[0] for o in outs])
-                vid_s = jnp.stack([o[1] for o in outs])
-                pay_t2c = jnp.stack([o[2] for o in outs])
-            self._sow_overflow(
-                "knn_shortlist_overflow",
-                jnp.stack([o[-1] for o in outs]))
+                if slc > 0:
+                    outs = [nn_1_tables_diag(q_s[b], tar_smpl[b],
+                                             tab_t2c[b], slc)
+                            for b in range(B)]
+                    d2_s = jnp.stack([o[0] for o in outs])
+                    vid_s = jnp.stack([o[1] for o in outs])
+                    pay_t2c = jnp.stack([o[2] for o in outs])
+                    self._sow_overflow(
+                        "knn_shortlist_overflow",
+                        jnp.stack([o[-1] for o in outs]))
+                else:
+                    d2_s, vid_s, pay_t2c = jax.vmap(nn_1_tables)(
+                        q_s, tar_smpl, tab_t2c)
             exact_s = valid & (d2_s < rc.prune_threshold_sq)
 
             # ---- second compaction: exact-test failures composite as empty
@@ -572,12 +586,16 @@ class SHERFRenderer(nn.Module):
         q_s = _geinsum("bnc,bcd->bnd",
                          pts_s - ctx_target.Th[:, None], ctx_target.R)
         qd_s = _geinsum("bnc,bcd->bnd", dirs_s, ctx_target.R)
-        outs = [nn_1_tables_diag(q_s[b], tar_smpl[b], tab_t2c[b],
-                                 rc.knn_shortlist) for b in range(B)]
-        d2_s = jnp.stack([o[0] for o in outs])
-        pay_t2c = jnp.stack([o[2] for o in outs])
-        self._sow_overflow("knn_shortlist_overflow",
-                           jnp.stack([o[-1] for o in outs]))
+        if rc.knn_shortlist > 0:
+            outs = [nn_1_tables_diag(q_s[b], tar_smpl[b], tab_t2c[b],
+                                     rc.knn_shortlist) for b in range(B)]
+            d2_s = jnp.stack([o[0] for o in outs])
+            pay_t2c = jnp.stack([o[2] for o in outs])
+            self._sow_overflow("knn_shortlist_overflow",
+                               jnp.stack([o[-1] for o in outs]))
+        else:
+            d2_s, _, pay_t2c = jax.vmap(nn_1_tables)(q_s, tar_smpl,
+                                                     tab_t2c)
         exact_s = valid & (d2_s < rc.prune_threshold_sq)
 
         can, can_dir = jax.vmap(
@@ -847,16 +865,21 @@ class SHERFRenderer(nn.Module):
                 lambda cs, cb: c2source_tables(smpl, cs, cb)
             )(ctx_obs, ctx_big)
             # budgeted-mode queries arrive compacted (ray-major, body-
-            # proximal) -> cluster shortlist; parity mode keeps the full
-            # scan (its 12.6M-sample grid has incoherent tiles)
+            # proximal) -> cluster shortlist when enabled; the vmapped
+            # full scan is the production form (see __call__ note)
             slc = (cfg.render.knn_shortlist
                    if cfg.render.point_capacity_frac < 1.0 else 0)
-            outs = [nn_1_tables_diag(can[b], t_vertices[b], tab_c2s[b],
-                                     slc) for b in range(can.shape[0])]
-            pay_c2s = jnp.stack([o[2] for o in outs])
-            self._sow_overflow(
-                "knn_shortlist_overflow",
-                jnp.stack([o[-1] for o in outs]))
+            if slc > 0:
+                outs = [nn_1_tables_diag(can[b], t_vertices[b],
+                                         tab_c2s[b], slc)
+                        for b in range(can.shape[0])]
+                pay_c2s = jnp.stack([o[2] for o in outs])
+                self._sow_overflow(
+                    "knn_shortlist_overflow",
+                    jnp.stack([o[-1] for o in outs]))
+            else:
+                _, _, pay_c2s = jax.vmap(nn_1_tables)(can, t_vertices,
+                                                      tab_c2s)
             _, world_src, _ = jax.vmap(
                 lambda cs, cb, pay, qq: deform_c2source_from_tables(
                     cs, cb, pay, qq)
