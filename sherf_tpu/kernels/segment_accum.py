@@ -209,7 +209,8 @@ def weighted_gather(table: jnp.ndarray, ids: jnp.ndarray, w: jnp.ndarray,
 
 
 @functools.lru_cache(maxsize=None)
-def _paired_weighted_gather_for(n_rows: int, dtype_name: str):
+def _paired_weighted_gather_for(n_rows: int, dtype_name: str,
+                                force_multihot: bool = False):
     """custom_vjp for :func:`paired_weighted_gather` (static S/dtype)."""
 
     @jax.custom_vjp
@@ -229,7 +230,7 @@ def _paired_weighted_gather_for(n_rows: int, dtype_name: str):
         C = g.shape[-1]
         gf = g.reshape(-1, C)
         idf = ids.reshape(-1, ids.shape[-1])
-        if _USE_MULTIHOT and n_rows <= 32768 \
+        if _USE_MULTIHOT and (n_rows <= 32768 or force_multihot) \
                 and jax.default_backend() in ("tpu", "axon"):
             da = weighted_accumulate(idf, wa.reshape(idf.shape), gf, n_rows)
             db = weighted_accumulate(idf, wb.reshape(idf.shape), gf, n_rows)
@@ -246,7 +247,8 @@ def _paired_weighted_gather_for(n_rows: int, dtype_name: str):
 
 
 def paired_weighted_gather(table: jnp.ndarray, ids: jnp.ndarray,
-                           wa: jnp.ndarray, wb: jnp.ndarray):
+                           wa: jnp.ndarray, wb: jnp.ndarray,
+                           force_multihot: bool = False):
     """sum_k wa[..,k] * table[ids[..,k], :C] + wb[..,k] * table[ids[..,k], C:].
 
     The x-PACKED readout form: ``table`` is (S, 2C) with each row holding a
@@ -254,6 +256,11 @@ def paired_weighted_gather(table: jnp.ndarray, ids: jnp.ndarray,
     needs K=4 row taps instead of 8 (TPU gathers are per-row-cost bound).
     Table adjoint = two weighted multi-hot matmul accumulations (one per
     half); the weights' cotangent is declared dead (query-position data).
+    ``force_multihot`` keeps the matmul adjoint above the 32768-row
+    heuristic — use when the queries are id-coherent enough for the
+    range-skipping to pay (e.g. the obs-image feature table, whose
+    scatter-add adjoint measured ~14 ms/step).
     """
-    return _paired_weighted_gather_for(table.shape[0], str(table.dtype))(
+    return _paired_weighted_gather_for(table.shape[0], str(table.dtype),
+                                       bool(force_multihot))(
         table, ids, wa, wb)

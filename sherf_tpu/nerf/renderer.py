@@ -40,7 +40,7 @@ from sherf_tpu.features.transformer import PlaneTransformer
 from sherf_tpu.geometry.rays import project_points
 from sherf_tpu.kernels.grid_sample import (
     grid_sample_2d, grid_sample_2d_packed, grid_sample_2d_xpacked,
-    pack_corners_2d, pack_x_2d)
+    grid_sample_2d_xpacked_wg, pack_corners_2d, pack_x_2d)
 from sherf_tpu.kernels.capsules import prune_mask
 from sherf_tpu.kernels.compaction import compact_mask
 from sherf_tpu.kernels.knn import (nn_1, nn_1_diag, nn_1_tables,
@@ -887,6 +887,11 @@ class SHERFRenderer(nn.Module):
             uv, _ = jax.vmap(project_points)(world_src, obs_K, obs_R, obs_T)
             wh = jnp.asarray([obs_img.shape[2], obs_img.shape[1]], jnp.float32)
             uv_n = 2.0 * uv / wh - 1.0
+            # (grid_sample_2d_xpacked_wg — multi-hot MXU adjoint for the
+            # obs-feature table — was A/B'd for the train path and measured
+            # 292.7 vs 278.8 ms/step: at 65k table rows the obs-image
+            # projections are not id-coherent enough for the range-skipped
+            # multi-hot to beat XLA's scatter-add.  Plain form everywhere.)
             pix_feat = jnp.stack([
                 grid_sample_2d_xpacked(pack_x_2d(obs_feat[b]), uv_n[b],
                                        align_corners=True)

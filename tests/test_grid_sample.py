@@ -114,6 +114,47 @@ def test_xpacked_2d_matches_four_tap():
             assert (a == b).all(), f"dt={dt} ac={ac}"
 
 
+def test_xpacked_wg_matches_plain_and_table_grad():
+    """The weighted-gather form of the x-packed sampler (train path: the
+    obs-feature table gets the multi-hot MXU adjoint instead of XLA's
+    scatter-add) matches the plain form in the forward, and its table
+    gradient matches the plain form's autodiff gradient."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sherf_tpu.kernels.grid_sample import (
+        grid_sample_2d_xpacked, grid_sample_2d_xpacked_wg, pack_x_2d)
+
+    rng = np.random.RandomState(9)
+    img = jnp.asarray(rng.randn(17, 21, 6).astype(np.float32))
+    coords = jnp.asarray(np.concatenate([
+        rng.uniform(-1.3, 1.3, (500, 2)),
+        [[-1.0, -1.0], [1.0, 1.0], [-1.0, 1.0], [0.0, 0.0], [2.0, 0.0]],
+    ]).astype(np.float32))
+    for ac in (False, True):
+        a = np.asarray(grid_sample_2d_xpacked(pack_x_2d(img), coords,
+                                              align_corners=ac))
+        b = np.asarray(grid_sample_2d_xpacked_wg(pack_x_2d(img), coords,
+                                                 align_corners=ac))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+        def loss_plain(im):
+            out = grid_sample_2d_xpacked(pack_x_2d(im), coords,
+                                         align_corners=ac)
+            return jnp.sum(out * out)
+
+        def loss_wg(im):
+            out = grid_sample_2d_xpacked_wg(pack_x_2d(im), coords,
+                                            align_corners=ac)
+            return jnp.sum(out * out)
+
+        ga = np.asarray(jax.grad(loss_plain)(img))
+        gb = np.asarray(jax.grad(loss_wg)(img))
+        # the multi-hot adjoint rounds weights/grads to bf16 by declared
+        # precision; compare at that tolerance
+        np.testing.assert_allclose(ga, gb, rtol=2e-2, atol=2e-2)
+
+
 def test_xpacked_trilinear_matches_ref():
     """4-row-gather x-packed trilinear readout (production 3D bank path)
     is bit-identical to the 8-gather dense formulation."""
