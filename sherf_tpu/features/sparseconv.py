@@ -209,6 +209,53 @@ def neighbor_gather(feats, nbr, inv_nbr, valid_in):
 neighbor_gather.defvjp(_neighbor_gather_fwd, _neighbor_gather_bwd)
 
 
+def _conv_rows(feats, nbr):
+    fp = jnp.concatenate(
+        [jnp.zeros((1, feats.shape[-1]), feats.dtype), feats], 0)
+    return fp[nbr.reshape(-1)].reshape(*nbr.shape, feats.shape[-1])
+
+
+@jax.custom_vjp
+def _conv_core(feats, nbr, w, inv_nbr, valid_in):
+    """out[s] = sum_k w[k] . feats[nbr[s,k]-1] (0 = zero row).
+
+    feats: (S_in, Ci); nbr: (S_out, K); w: (K, Ci, Co);
+    inv_nbr: (S_in, K) inverse table (see invert_neighbor_ids).
+
+    The backward is the TRANSPOSED conv, computed without materializing
+    the (S_out, K, Ci) gathered-rows cotangent the autodiff-through-
+    neighbor_gather form produced (~35 ms/step of gathers + reshapes +
+    converts on the production train step):
+      d_feats[j] = sum_k  g[inv[j,k]-1] @ w[k].T     (one Co-wide gather
+                                                      + one einsum)
+      d_w[k]     = rows.T @ g                        (rows recomputed —
+                                                      cheaper than saving
+                                                      the 27-tap tensor)
+    """
+    return jnp.einsum("ski,kio->so", _conv_rows(feats, nbr), w)
+
+
+def _conv_core_fwd(feats, nbr, w, inv_nbr, valid_in):
+    return _conv_core(feats, nbr, w, inv_nbr, valid_in), (
+        feats, nbr, w, inv_nbr, valid_in)
+
+
+def _conv_core_bwd(res, g):
+    feats, nbr, w, inv_nbr, valid_in = res
+    Co = g.shape[-1]
+    gpad = jnp.concatenate([jnp.zeros((1, Co), g.dtype), g], 0)
+    grow = gpad[inv_nbr.reshape(-1)].reshape(*inv_nbr.shape, Co)
+    d_feats = jnp.einsum("jko,kio->ji", grow, w,
+                         preferred_element_type=jnp.float32)
+    d_feats = (d_feats * valid_in[:, None]).astype(feats.dtype)
+    d_w = jnp.einsum("ski,so->kio", _conv_rows(feats, nbr), g,
+                     preferred_element_type=jnp.float32).astype(w.dtype)
+    return d_feats, None, d_w, None, None
+
+
+_conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
+
+
 def conv3d_by_ids(feats, nbr, weight, inv_nbr, valid_in):
     """Sparse 3x3x3 conv given precomputed neighbor ids (S, 27) and their
     inverse table (S_in, 27).
@@ -218,9 +265,9 @@ def conv3d_by_ids(feats, nbr, weight, inv_nbr, valid_in):
     layout-preserving (27 is not a multiple of the sublane tile; the
     relayout cost ~2ms/frame of the eval render).  Off by default: the
     extra 5 zero taps cost ~18ms/step in the TRAINING backward (the
-    inverse-offset adjoint re-gathers every tap), which far outweighs the
-    eval saving.  Zero-id taps read the zero row and contribute exactly
-    nothing either way."""
+    adjoint re-gathers every tap), which far outweighs the eval saving.
+    Zero-id taps read the zero row and contribute exactly nothing either
+    way."""
     import os
 
     K = nbr.shape[1]
@@ -232,9 +279,7 @@ def conv3d_by_ids(feats, nbr, weight, inv_nbr, valid_in):
     if pad:
         w = jnp.concatenate(
             [w, jnp.zeros((pad,) + w.shape[1:], w.dtype)], axis=0)
-    return jnp.einsum("ski,kio->so",
-                      neighbor_gather(feats, nbr, inv_nbr, valid_in),
-                      w.astype(feats.dtype))
+    return _conv_core(feats, nbr, w.astype(feats.dtype), inv_nbr, valid_in)
 
 
 def subm_conv3d(feats, coords, grid, shape, weight, valid_in):
