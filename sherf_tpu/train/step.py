@@ -21,6 +21,25 @@ from sherf_tpu.train.loss import reconstruction_loss
 from sherf_tpu.train.train_state import SHERFTrainState, ema_beta, ema_update
 
 
+def donate_default() -> bool:
+    """Platform-gated donation default.
+
+    Buffer donation is numerically UNSOUND on the tunneled `axon` backend
+    (r4: the donated train step's trajectory diverges from the undonated
+    one within ~25 steps and deterministically collapses to a dead-relu
+    frozen state — loss bit-frozen, all-zero gradients — at ~step 110 of
+    the 256^2 D=24 overfit; the undonated step converges monotonically on
+    the same seed/program).  Donation stays on for real backends, where it
+    halves train-state memory; SHERF_DONATE=0/1 overrides either way.
+    """
+    import os
+
+    env = os.environ.get("SHERF_DONATE")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() != "axon"
+
+
 def _make_loss_fn(model, smpl: SMPLModel, tcfg: TrainConfig,
                   lpips_fn: Optional[Callable] = None) -> Callable:
     def loss_fn(params, extra_vars, batch: SHERFBatch, rng):
@@ -42,8 +61,17 @@ def _make_loss_fn(model, smpl: SMPLModel, tcfg: TrainConfig,
 
 def make_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
                     lpips_fn: Optional[Callable] = None,
-                    donate: bool = True) -> Callable:
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+                    donate: bool = None) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    ``donate`` defaults to :func:`donate_default` — buffer donation is
+    numerically UNSOUND on the tunneled `axon` backend (r4 find: the
+    donated step's training trajectory diverges from the undonated one
+    from the first steps and deterministically collapses into a dead-relu
+    frozen state at ~step 110 of the D=24 overfit; donate=False converges
+    monotonically on the same seed).  On real `tpu`/`cpu` backends
+    donation halves state memory and stays on by default.
+    """
     beta = ema_beta(tcfg.batch_size, tcfg.ema_kimg)
     loss_fn = _make_loss_fn(model, smpl, tcfg, lpips_fn)
 
@@ -56,6 +84,8 @@ def make_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
         metrics["grad_norm"] = optax_global_norm(grads)
         return state, metrics
 
+    if donate is None:
+        donate = donate_default()
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
@@ -177,7 +207,7 @@ def _make_local_grads(model, smpl: SMPLModel, tcfg: TrainConfig, mesh,
 
 def make_sharded_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
                             mesh, lpips_fn: Optional[Callable] = None,
-                            donate: bool = True) -> Callable:
+                            donate: bool = None) -> Callable:
     """Explicit-SPMD train step: shard_map over the (data, rays) mesh.
 
     GSPMD cannot prove that the renderer's per-batch-item gathers (feature
@@ -220,4 +250,6 @@ def make_sharded_train_step(model, smpl: SMPLModel, tcfg: TrainConfig,
         metrics["grad_norm"] = optax_global_norm(grads)
         return state, metrics
 
+    if donate is None:
+        donate = donate_default()
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.heavy
 def test_render_demo_writes_png(tmp_path):
     from sherf_tpu.cli.render_demo import main
 

@@ -77,6 +77,7 @@ def _randomize(params, rng):
     return params
 
 
+@pytest.mark.heavy
 def test_inception_a_matches_torch():
     """Full InceptionA block vs a test-local torch implementation
     (torchvision graph + pytorch-fid count_include_pad=False patch)."""
@@ -189,6 +190,7 @@ def inception_setup():
     return net, params
 
 
+@pytest.mark.heavy
 def test_importer_golden_roundtrip(inception_setup):
     """flax params -> torch state_dict -> import == identity (values)."""
     net, params = inception_setup

@@ -111,6 +111,7 @@ def _fake_reference_sd():
     return sd
 
 
+@pytest.mark.heavy
 def test_full_generator_import_structure():
     import chex
 

@@ -17,10 +17,12 @@ def test_eight_device_mesh_available():
     assert jax.device_count() >= 8
 
 
+@pytest.mark.heavy
 def test_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.heavy
 def test_entry_compiles_single_chip():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)

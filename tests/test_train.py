@@ -128,6 +128,7 @@ def test_ema_update():
     np.testing.assert_allclose(np.asarray(out["w"]), 0.5)
 
 
+@pytest.mark.heavy
 def test_phase_fns_compose_to_fused_step():
     """The per-phase timing programs (train/step.py make_phase_fns; the
     reference's Timing/<phase> breakdown, training_loop.py:595-600) must

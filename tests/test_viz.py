@@ -35,6 +35,7 @@ def test_render_rgb(viz):
     assert res["render_time"] > 0
 
 
+@pytest.mark.heavy
 def test_render_types_and_camera(viz):
     imgs = {}
     for rt in ("depth", "acc", "normals"):
@@ -47,6 +48,7 @@ def test_render_types_and_camera(viz):
     assert not np.array_equal(imgs["depth"], imgs["acc"])
 
 
+@pytest.mark.heavy
 def test_render_crosssection(viz):
     res = viz.render(resolution=16, depth_resolution=DEPTH,
                      render_type="crosssection")
@@ -77,6 +79,7 @@ def test_render_error_is_captured(viz):
     assert res.get("error")  # traceback string, no exception escapes
 
 
+@pytest.mark.heavy
 def test_cross_section_matches_reference_contract(viz):
     """sample_cross_section mirrors crosssection_utils.py:13-23: a (res,res)
     sigma slab on an axis-aligned plane, linspace +w/2 -> -w/2 on the first

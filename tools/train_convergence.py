@@ -59,7 +59,9 @@ def main(steps=300, H=256, D=48, lr=2.5e-3, eval_every=25):
     params = dict(variables).pop("params")
     extra = {k: v for k, v in variables.items() if k != "params"}
     state = create_train_state(params, extra, tcfg)
-    step = make_train_step(model, smpl, tcfg, donate=True)
+    step = make_train_step(model, smpl, tcfg)  # donate: platform-gated
+    #   (SHERF_DONATE=1 reproduces the r4 axon donation collapse: loss
+    #   freezes dead at ~step 110 of this very run)
     fwd = jax.jit(lambda p, b: model.apply({"params": p, **extra}, b, smpl))
 
     gt = np.asarray(batch.img[0])

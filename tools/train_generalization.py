@@ -84,7 +84,7 @@ def main(steps=500, H=128, D=48, subjects=6, lr=2.5e-3, eval_every=50,
     params = dict(variables).pop("params")
     extra = {k: v for k, v in variables.items() if k != "params"}
     state = create_train_state(params, extra, tcfg)
-    step = make_train_step(model, smpl, tcfg, donate=True)
+    step = make_train_step(model, smpl, tcfg)  # donate: platform-gated
     fwd = jax.jit(lambda p, b: model.apply({"params": p, **extra}, b,
                                            smpl)["image_raw"])
 
