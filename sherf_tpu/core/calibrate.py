@@ -156,13 +156,14 @@ def calibrate_budgets(batches: Iterable, cfg, margin: float = 1.2,
     # step_overflow diag if a production frame ever exceeds the fitted
     # margin (same contract as the capacity budgets: calibrate on
     # worst-case batches, watch the counters).
-    step_max = max(float(jnp.max((b.far - b.near) / (D - 1)))
-                   for b in batches)
-    fitted_margin = math.ceil(step_max / 0.005) * 0.005
-    cfg = dataclasses.replace(
-        cfg, render=dataclasses.replace(rcfg,
-                                        prune_step_margin=fitted_margin))
-    rcfg = cfg.render
+    if rcfg.prune_stride > 1 and D >= 24:
+        step_max = max(float(jnp.max((b.far - b.near) / (D - 1)))
+                       for b in batches)
+        fitted_margin = math.ceil(step_max / 0.005) * 0.005
+        cfg = dataclasses.replace(
+            cfg, render=dataclasses.replace(rcfg,
+                                            prune_step_margin=fitted_margin))
+        rcfg = cfg.render
 
     worst = {"rays": 0, "voxel": 0, "exact": 0, "step_max": 0.0, "span": 0.0}
     H_W = None
@@ -173,8 +174,17 @@ def calibrate_budgets(batches: Iterable, cfg, margin: float = 1.2,
             worst[k] = max(worst[k], m[k])
         worst["step_max"] = max(worst["step_max"], m["step_max"])
         worst["span"] = max(worst["span"], m["span"])
-    assert worst["span"] + 0.5 < GRID_SIZE * CELL, \
-        f"body span {worst['span']:.2f}m too large for the occupancy grid"
+    # the grid must fit the body plus the dilated ball on BOTH sides (the
+    # grid origin already sits radius + 2 cells below the vertex min,
+    # occupancy.py) — the old flat 0.5m slack spuriously rejected tall
+    # wide-pose subjects (r4: a 2.06m synthetic body)
+    radius = float(np.sqrt(rcfg.prune_threshold_sq))
+    eff_margin = (rcfg.prune_step_margin
+                  if rcfg.prune_stride > 1 and D >= 24 else 0.0)
+    need = worst["span"] + 2 * (radius + eff_margin + 3 * CELL)
+    assert need < GRID_SIZE * CELL, \
+        (f"body span {worst['span']:.2f}m + dilation needs {need:.2f}m > "
+         f"occupancy grid {GRID_SIZE * CELL:.2f}m")
 
     M = H_W * D
     caps = {k: min(_round_up(int(worst[k] * margin), round_to), total)

@@ -35,7 +35,10 @@ CELL = 0.0125            # meters; 192 * 0.0125 = 2.4 m cube covers any SMPL
 #                          dilation margin; bench.py validates the span.
 #                          Smaller grid (7 MB int8 vs 11 MB at 224) gathers
 #                          measurably faster in-frame.
-_INF = jnp.int32(1 << 20)   # unreachable-cell sentinel (window-truncated)
+# unreachable-cell sentinel (window-truncated); int16 halves the EDT
+# build's HBM traffic (~40-70 shifted passes over the 7M-cell grid);
+# 30000 + the largest window offset^2 (<= ~300) stays below int16 max
+_INF = jnp.int16(30000)
 
 
 def _shift_axis(x: jnp.ndarray, off: int, axis: int) -> jnp.ndarray:
@@ -57,7 +60,7 @@ def _shift_axis(x: jnp.ndarray, off: int, axis: int) -> jnp.ndarray:
 
 def distance_grid(verts: jnp.ndarray, lo: jnp.ndarray, w: int,
                   cell: float = CELL, grid_size: int = GRID_SIZE):
-    """(G, G, G) int32 grid: squared distance IN CELL UNITS from each cell
+    """(G, G, G) int16 grid: squared distance IN CELL UNITS from each cell
     to the nearest vertex-containing cell, exact for values <= w*w (larger
     values may read as _INF-ish — callers threshold below w*w).
 
@@ -67,17 +70,18 @@ def distance_grid(verts: jnp.ndarray, lo: jnp.ndarray, w: int,
     whenever that minimum is <= w^2 (window truncation only affects
     farther cells).
     """
+    assert w * w <= 300, "int16 _INF headroom assumes small windows"
     G = grid_size
     vidx = jnp.floor((verts - lo) / cell).astype(jnp.int32)
     ok = jnp.all((vidx >= 0) & (vidx < G), axis=-1)
     flat = (vidx[:, 0] * G + vidx[:, 1]) * G + vidx[:, 2]
     flat = jnp.where(ok, flat, G * G * G)
-    d2 = jnp.full((G * G * G,), _INF, jnp.int32).at[flat].set(
+    d2 = jnp.full((G * G * G,), _INF, jnp.int16).at[flat].set(
         0, mode="drop").reshape(G, G, G)
     for axis in range(3):
         best = d2 + 0
         for off in range(1, w + 1):
-            o2 = jnp.int32(off * off)
+            o2 = jnp.int16(off * off)
             best = jnp.minimum(best, _shift_axis(d2, off, axis) + o2)
             best = jnp.minimum(best, _shift_axis(d2, -off, axis) + o2)
         d2 = best

@@ -75,12 +75,22 @@ def sample_from_planes(planes: jnp.ndarray, pts_norm: jnp.ndarray) -> jnp.ndarra
     ])
 
 
-def _geinsum(subscripts, *operands):
-    """Geometry einsum at full f32 matmul precision (the TPU default keeps
-    ~bf16 mantissas — ~mm-cm of world-coordinate error on rigid
-    transforms, poisoning every downstream feature lookup)."""
-    return jnp.einsum(subscripts, *operands,
-                      precision=jax.lax.Precision.HIGHEST)
+def _rot3(pts: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 rotation out[..., d] = sum_c pts[..., c] * R[c, d] as
+    EXPLICIT elementwise f32 fma chains on the VPU — numerically at least
+    as accurate as the Precision.HIGHEST einsum it replaces (every product
+    exactly rounded, 3-term f32 sum) and ~100x cheaper: the (N, 3)x(3, 3)
+    HIGHEST matmul lowers to 6-pass MXU passes on a shape the systolic
+    array is hopeless at (~1.3 ms/frame across the four call sites for
+    ~50 MFLOP of work).
+
+    pts: (B, N, 3); R: (B, 3, 3).
+    """
+    p = pts.astype(jnp.float32)
+    r = R.astype(jnp.float32)[:, None]              # (B, 1, 3, 3)
+    return jnp.stack(
+        [p[..., 0] * r[..., 0, d] + p[..., 1] * r[..., 1, d]
+         + p[..., 2] * r[..., 2, d] for d in range(3)], axis=-1)
 
 
 def _compact_indices(mask: jnp.ndarray, cap: int):
@@ -221,8 +231,7 @@ class SHERFRenderer(nn.Module):
 
         pts = ray_o[:, :, None] + depths[..., None] * ray_d[:, :, None]
         pts = pts.reshape(B, N * D, 3)
-        tar_smpl = _geinsum("bvc,bcd->bvd",
-                              vertices - ctx_target.Th[:, None], ctx_target.R)
+        tar_smpl = _rot3(vertices - ctx_target.Th[:, None], ctx_target.R)
 
         # ---- prune + compaction + blend-weight KNN
         M = N * D
@@ -233,8 +242,7 @@ class SHERFRenderer(nn.Module):
             radius = float(np.sqrt(rc.prune_threshold_sq))
             if rc.prune_mode == "capsule":
                 # pure-compute capsule test in the SMPL frame (zero gathers)
-                q_all = _geinsum("bnc,bcd->bnd",
-                                   pts - ctx_target.Th[:, None], ctx_target.R)
+                q_all = _rot3(pts - ctx_target.Th[:, None], ctx_target.R)
                 occ = jax.vmap(
                     lambda qq, vv, jj: prune_mask(qq, vv, jj, smpl, radius)
                 )(q_all, tar_smpl, ctx_target.joints)
@@ -292,9 +300,8 @@ class SHERFRenderer(nn.Module):
             step_s = steps[gidx % D]
             depth_s = near_s + (far_s - near_s) * step_s
             pts_s = o_s + depth_s[..., None] * dirs_s
-            q_s = _geinsum("bnc,bcd->bnd",
-                             pts_s - ctx_target.Th[:, None], ctx_target.R)
-            qd_s = _geinsum("bnc,bcd->bnd", dirs_s, ctx_target.R)
+            q_s = _rot3(pts_s - ctx_target.Th[:, None], ctx_target.R)
+            qd_s = _rot3(dirs_s, ctx_target.R)
             tab_t2c = jax.vmap(
                 lambda ct, cb: target2c_tables(smpl, ct, cb)
             )(ctx_target, ctx_big)
@@ -377,11 +384,10 @@ class SHERFRenderer(nn.Module):
                 cap = cap2
         else:
             # parity mode: exact full KNN, mask-only (no dropped compute)
-            q = _geinsum("bnc,bcd->bnd",
-                           pts - ctx_target.Th[:, None], ctx_target.R)
+            q = _rot3(pts - ctx_target.Th[:, None], ctx_target.R)
             dirs = jnp.broadcast_to(ray_d[:, :, None],
                                     (B, N, D, 3)).reshape(B, M, 3)
-            qd = _geinsum("bnc,bcd->bnd", dirs, ctx_target.R)
+            qd = _rot3(dirs, ctx_target.R)
             tab_t2c = jax.vmap(
                 lambda ct, cb: target2c_tables(smpl, ct, cb)
             )(ctx_target, ctx_big)
@@ -522,9 +528,8 @@ class SHERFRenderer(nn.Module):
         pts/dirs: (B, M, 3) world-space sample positions / ray directions.
         """
         rc = self.cfg.render
-        q = _geinsum("bnc,bcd->bnd",
-                       pts - ctx_target.Th[:, None], ctx_target.R)
-        qd = _geinsum("bnc,bcd->bnd", dirs, ctx_target.R)
+        q = _rot3(pts - ctx_target.Th[:, None], ctx_target.R)
+        qd = _rot3(dirs, ctx_target.R)
         d2, vid, pay = jax.vmap(nn_1_tables)(q, tar_smpl, tab_t2c)
         mask = d2 < rc.prune_threshold_sq
         can, can_dir = jax.vmap(
@@ -583,9 +588,8 @@ class SHERFRenderer(nn.Module):
         packed = jnp.concatenate([pts, dirs], axis=-1)       # (B, M, 6)
         rows = jnp.take_along_axis(packed, gidx[..., None], axis=1)
         pts_s, dirs_s = rows[..., 0:3], rows[..., 3:6]
-        q_s = _geinsum("bnc,bcd->bnd",
-                         pts_s - ctx_target.Th[:, None], ctx_target.R)
-        qd_s = _geinsum("bnc,bcd->bnd", dirs_s, ctx_target.R)
+        q_s = _rot3(pts_s - ctx_target.Th[:, None], ctx_target.R)
+        qd_s = _rot3(dirs_s, ctx_target.R)
         if rc.knn_shortlist > 0:
             outs = [nn_1_tables_diag(q_s[b], tar_smpl[b], tab_t2c[b],
                                      rc.knn_shortlist) for b in range(B)]
@@ -642,8 +646,7 @@ class SHERFRenderer(nn.Module):
         if vol_feats is not None:
             vol_feats = vol_feats.astype(cdt)
 
-        tar_smpl = _geinsum("bvc,bcd->bvd",
-                              vertices - ctx_target.Th[:, None], ctx_target.R)
+        tar_smpl = _rot3(vertices - ctx_target.Th[:, None], ctx_target.R)
         tab_t2c = jax.vmap(
             lambda ct, cb: target2c_tables(smpl, ct, cb)
         )(ctx_target, ctx_big)
@@ -751,8 +754,7 @@ class SHERFRenderer(nn.Module):
             ray_o, ray_d, near, far, ray_sel, N = self._compact_rays(
                 ray_o, ray_d, near, far, ray_mask, vertices)
 
-        tar_smpl = _geinsum("bvc,bcd->bvd",
-                              vertices - ctx_target.Th[:, None], ctx_target.R)
+        tar_smpl = _rot3(vertices - ctx_target.Th[:, None], ctx_target.R)
         tab_t2c = jax.vmap(
             lambda ct, cb: target2c_tables(smpl, ct, cb)
         )(ctx_target, ctx_big)

@@ -104,7 +104,10 @@ def test_calibrate_fits_step_margin_to_scene():
     batch = make_synthetic_batch(smpl, batch_size=1, H=16, W=16, seed=0)
     D = 24
     # configured margin is far too small: the fit must correct it
+    # (prune_stride > 1 — at the stride-1 default the margin is unused
+    # and the fit is skipped)
     cfg = ModelConfig(render=RenderConfig(depth_resolution=D,
+                                          prune_stride=3,
                                           prune_step_margin=1e-3,
                                           density_noise=0.0))
     fitted, worst = calibrate_budgets([batch], cfg)
