@@ -57,15 +57,13 @@ class RenderConfig:
     # (plus the last) against a grid dilated by prune_step_margin extra
     # meters, then OR-spread flags to +-1 neighbors — a strict superset of
     # the per-sample test whenever the per-ray depth step <= the margin.
-    # DEFAULT 1 (test every sample): the stride was tuned when the grid
-    # test ran on the full 12.6M-sample set; after ray compaction it tests
-    # ~1.2M samples, where the gather saving (~3 ms) is far smaller than
-    # the cost of the step-margin dilation it forces — the margin-inflated
-    # ball admitted 358k samples into the exact-KNN stage where the tight
-    # per-sample ball admits ~205k, and every admitted sample pays
-    # KNN + compaction + gather cost downstream (r4 A/B in BASELINE.md).
-    # Stride 1 also removes the step_overflow failure mode entirely.
-    prune_stride: int = 1
+    # Default 3, A/B'd both ways on chip (r4): stride 1 tests every sample
+    # at the tight ball (survivors 358k -> 221k, exact-KNN -5.2 ms) but
+    # pays 3x the grid gathers (+6.1 ms, they are per-row-latency bound) —
+    # net ~+1 ms worse at the production shape.  The stride's margin is
+    # scene-fitted by calibrate_budgets and guarded by the step_overflow
+    # diag; coarse grids (D < 24) always test every sample.
+    prune_stride: int = 3
     prune_step_margin: float = 0.06
     # Second-stage static budget (fraction of total samples) applied AFTER
     # the exact 5cm test: exact failures composite as empty space either
