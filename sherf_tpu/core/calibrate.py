@@ -141,6 +141,16 @@ def calibrate_budgets(batches: Iterable, cfg, margin: float = 1.2,
 
     ``batches``: representative SHERFBatch instances (worst-case poses and
     views); ``margin``: multiplicative headroom over the worst observation.
+
+    CONTRACT (advisor r4): the fitted budgets — including the fitted
+    ``prune_step_margin`` — are guarantees only for frames shaped like the
+    calibration batches.  Every consumer of a calibrated config MUST read
+    the renderer's 'diag' collection (``model.apply(..., mutable=["diag"])``
+    + ``core.diag.overflow_report``) and treat ANY nonzero counter —
+    including ``step_overflow`` — as a corrupted frame: recalibrate with
+    batches covering that pose/view or a larger ``margin``.  bench.py,
+    cli/eval.py and the training tools all do this; a new tool that skips
+    the check silently renders truncated bodies.
     """
     from sherf_tpu.kernels.occupancy import CELL, GRID_SIZE
 
@@ -185,6 +195,22 @@ def calibrate_budgets(batches: Iterable, cfg, margin: float = 1.2,
     assert need < GRID_SIZE * CELL, \
         (f"body span {worst['span']:.2f}m + dilation needs {need:.2f}m > "
          f"occupancy grid {GRID_SIZE * CELL:.2f}m")
+    # validate the fitted margin against the EDT grid's int16 headroom NOW,
+    # with an actionable error, instead of an opaque trace-time assert in
+    # distance_grid (advisor r4): scenes with long near-far spans at low D
+    # can fit a margin whose dilated ball needs a wider window than the
+    # int16 sentinel supports
+    from sherf_tpu.kernels.occupancy import INT16_W2_MAX, edt_window_cells
+
+    w = edt_window_cells(radius + eff_margin)
+    if w * w > INT16_W2_MAX:
+        raise ValueError(
+            f"fitted prune_step_margin {eff_margin:.3f}m dilates the prune "
+            f"ball to {radius + eff_margin:.3f}m, needing EDT window w={w} "
+            f"(w*w={w * w} > int16 headroom {INT16_W2_MAX}).  Raise "
+            f"depth_resolution (shrinks per-ray steps and the fitted "
+            f"margin) or set prune_stride=1 (drops the margin from the "
+            f"ball).")
 
     M = H_W * D
     caps = {k: min(_round_up(int(worst[k] * margin), round_to), total)

@@ -26,6 +26,7 @@ vertex) inside a ~128x352x416 voxel grid, so dense 3D convs would waste
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -37,6 +38,18 @@ import jax.numpy as jnp
 from sherf_tpu.kernels.segment_accum import weighted_gather
 
 VOXEL_SIZE = 0.005  # meters (renderer.py:550, triplane.py:194)
+
+# Scales whose conv stages run in DENSE form (see SparseConvNet): at the
+# coarse scales the occupied fraction is high enough (4-10%) that one
+# XLA 3D conv over the dense grid — pure MXU work, zero per-site gathers —
+# beats the 27-tap gathered sparse form.  Scale s = number of stride-2
+# downsamples applied to the grid a stage READS: conv1/down1 read s=1,
+# conv2/down2 read s=2, conv3 reads s=3.  s=0 (the 18.7M-voxel full-res
+# grid) must never go dense (the densified tensor alone is ~1.2GB).
+# Env A/B knob: SHERF_DENSE_SCALES="" (all sparse) .. "123".
+# (default pending the on-chip A/B — flip to "23" once measured faster)
+DENSE_SCALES = frozenset(
+    int(c) for c in os.environ.get("SHERF_DENSE_SCALES", "")) - {0}
 
 
 def prepare_voxel_volume(t_vertices: np.ndarray, pad: float = 0.05,
@@ -706,6 +719,45 @@ def trilinear_site_sample(feats, grid, shape, pos):
     return out
 
 
+def densify_sites(feats, coords, valid, shape):
+    """(S, C) site features -> flat (D*H*W, C) dense grid (zeros at empty
+    voxels) — the scatter half of the dense-conv path (S ~ 4-21k rows,
+    negligible next to the grid traffic)."""
+    size = shape[0] * shape[1] * shape[2]
+    ok = valid & _inbounds(coords, shape)
+    flat = jnp.where(ok, _flat(coords, shape), size)
+    return jnp.zeros((size, feats.shape[-1]), feats.dtype).at[flat].set(
+        feats * ok[:, None].astype(feats.dtype), mode="drop")
+
+
+def gather_dense_at_sites(dense_flat, coords, valid, shape):
+    """Read site rows back out of a flat dense grid (inverse of
+    :func:`densify_sites`); invalid/out-of-bounds rows read zero."""
+    ok = valid & _inbounds(coords, shape)
+    flat = jnp.clip(_flat(coords, shape), 0, dense_flat.shape[0] - 1)
+    return jnp.take(dense_flat, flat, axis=0) * ok[:, None].astype(
+        dense_flat.dtype)
+
+
+def dense_conv3d(dense_flat, shape, weight, stride: int = 1):
+    """XLA 3D conv over a flat dense grid: kernel 3, pad 1, ``stride``.
+
+    dense_flat: (D*H*W, Ci); weight: (3, 3, 3, Ci, Co) (DHWIO — the sparse
+    path's native layout).  Returns the flat (D'*H'*W', Co) output where
+    each output dim is (s - 1)//2 + 1 for stride 2 (matching
+    :func:`downsample_sites`' SparseConv3d geometry) or unchanged for
+    stride 1 (SubMConv3d evaluated everywhere; gathering at the input
+    site set afterwards reproduces submanifold semantics exactly, since
+    empty voxels hold zeros).
+    """
+    D, H, W = shape
+    x = dense_flat.reshape(1, D, H, W, dense_flat.shape[-1])
+    y = lax.conv_general_dilated(
+        x, weight.astype(x.dtype), (stride,) * 3, [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y.reshape(-1, weight.shape[-1])
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm1d over the site dim with an explicit validity mask
     (spconv pairs every conv with BatchNorm1d(eps=1e-3, momentum=0.01),
@@ -744,7 +796,30 @@ class SparseStage(nn.Module):
     n_convs: int
 
     @nn.compact
-    def __call__(self, feats, coords, packed, shape, valid, train: bool = False):
+    def __call__(self, feats, coords, packed, shape, valid, train: bool = False,
+                 dense: bool = False):
+        if dense:
+            # dense form (coarse scales): scatter once, run the stage's
+            # convs as XLA 3D convs on the MXU, gather the site rows back.
+            # Identical math to the sparse form — empty voxels hold zeros,
+            # and masking after each BN+ReLU (whose bias would otherwise
+            # light up empty voxels) restores the submanifold invariant.
+            size = shape[0] * shape[1] * shape[2]
+            ok = valid & _inbounds(coords, shape)
+            flat = jnp.where(ok, _flat(coords, shape), size)
+            x = densify_sites(feats, coords, valid, shape)
+            occ = jnp.zeros((size, 1), x.dtype).at[flat].set(
+                jnp.ones((feats.shape[0], 1), x.dtype), mode="drop")
+            occ_b = occ[:, 0] > 0
+            for i in range(self.n_convs):
+                cin = x.shape[-1]
+                w = self.param(f"conv{i}", nn.initializers.variance_scaling(
+                    1.0, "fan_in", "normal"),
+                    (3, 3, 3, cin, self.out_channels))
+                x = dense_conv3d(x, shape, w)
+                x = MaskedBatchNorm(name=f"bn{i}")(x, occ_b, train=train)
+                x = nn.relu(x) * occ
+            return gather_dense_at_sites(x, coords, valid, shape)
         # submanifold convs share the site set: one neighbor-id gather
         # serves every conv in the stage (and, reversed, every adjoint)
         nbr = neighbor_ids_packed(packed, shape, coords)
@@ -767,7 +842,8 @@ class SparseDown(nn.Module):
 
     @nn.compact
     def __call__(self, feats, coords, grid, packed, shape, valid,
-                 train: bool = False):
+                 train: bool = False, dense: bool = False,
+                 need_packed: bool = True):
         new_coords, new_valid, new_shape, overflow = downsample_sites(
             coords, valid, shape, self.cap)
         self.sow("diag", "site_overflow", overflow,
@@ -776,12 +852,21 @@ class SparseDown(nn.Module):
         cin = feats.shape[-1]
         w = self.param("conv", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (3, 3, 3, cin, self.out_channels))
-        out = stride_conv3d_packed(feats, packed, shape, new_coords, w,
-                                   new_valid, valid)
+        if dense:
+            # dense stride-2 conv (same geometry as downsample_sites'
+            # SparseConv3d: kernel 3, pad 1, stride 2), read back at the
+            # new site set
+            y = dense_conv3d(densify_sites(feats, coords, valid, shape),
+                             shape, w, stride=2)
+            out = gather_dense_at_sites(y, new_coords, new_valid, new_shape)
+        else:
+            out = stride_conv3d_packed(feats, packed, shape, new_coords, w,
+                                       new_valid, valid)
         out = MaskedBatchNorm(name="bn")(out, new_valid, train=train)
         out = nn.relu(out) * new_valid[:, None]
         new_grid = build_index_grid(new_coords, new_valid, new_shape)
-        new_packed = pack_grid_yx(new_grid, new_shape, new_coords.shape[0])
+        new_packed = (pack_grid_yx(new_grid, new_shape, new_coords.shape[0])
+                      if need_packed else None)
         return out, new_coords, new_grid, new_packed, new_shape, new_valid
 
 
@@ -816,9 +901,16 @@ class SparseConvNet(nn.Module):
         grid = build_index_grid(coords, valid, shape)
         packed = pack_grid_yx(grid, shape, coords.shape[0])
 
+        # per-scale dense-conv dispatch (DENSE_SCALES): conv1/down1 read
+        # the s=1 grid, conv2/down2 s=2, conv3 s=3; a down emits the
+        # yx-packed neighbor grid only when the next scale's consumers
+        # still run sparse
+        d1, d2, d3 = (s in DENSE_SCALES for s in (1, 2, 3))
+
         feats = SparseStage(32, 2, name="conv0")(feats, coords, packed, shape, valid, bn_train)
         feats, coords, grid, packed, shape, valid = SparseDown(32, self.caps[0], name="down0")(
-            feats, coords, grid, packed, shape, valid, bn_train)
+            feats, coords, grid, packed, shape, valid, bn_train,
+            need_packed=not d1)
 
         outs = []
         full = np.asarray(self.out_sh, np.float32)
@@ -842,16 +934,18 @@ class SparseConvNet(nn.Module):
                                                     query_dhw * scale)
 
         if self.num_layers > 1:
-            feats = SparseStage(32, 2, name="conv1")(feats, coords, packed, shape, valid, bn_train)
+            feats = SparseStage(32, 2, name="conv1")(feats, coords, packed, shape, valid, bn_train, dense=d1)
             outs.append(readout(feats, grid, shape, coords, valid))
             feats, coords, grid, packed, shape, valid = SparseDown(64, self.caps[1], name="down1")(
-                feats, coords, grid, packed, shape, valid, bn_train)
+                feats, coords, grid, packed, shape, valid, bn_train,
+                dense=d1, need_packed=not d2)
         if self.num_layers > 2:
-            feats = SparseStage(64, 3, name="conv2")(feats, coords, packed, shape, valid, bn_train)
+            feats = SparseStage(64, 3, name="conv2")(feats, coords, packed, shape, valid, bn_train, dense=d2)
             outs.append(readout(feats, grid, shape, coords, valid))
             feats, coords, grid, packed, shape, valid = SparseDown(96, self.caps[2], name="down2")(
-                feats, coords, grid, packed, shape, valid, bn_train)
+                feats, coords, grid, packed, shape, valid, bn_train,
+                dense=d2, need_packed=not d3)
         if self.num_layers > 3:
-            feats = SparseStage(96, 3, name="conv3")(feats, coords, packed, shape, valid, bn_train)
+            feats = SparseStage(96, 3, name="conv3")(feats, coords, packed, shape, valid, bn_train, dense=d3)
             outs.append(readout(feats, grid, shape, coords, valid))
         return jnp.concatenate(outs, axis=-1)

@@ -64,16 +64,20 @@ def nn_1(query: jnp.ndarray, ref: jnp.ndarray, chunk: int = 8192):
 
 def nn_1_diag(query: jnp.ndarray, ref: jnp.ndarray, s_cap: int = 0,
               chunk: int = 8192):
-    """K=1 NN with a shortlist-overflow diagnostic.
+    """K=1 NN with a shortlist-overflow diagnostic slot.
 
     With ``s_cap`` > 0 on a TPU backend, dispatches to the per-tile
     cluster-shortlist kernel (knn_pallas.nn_1_shortlist_pallas) and
-    returns (dist_sq, idx, overflow) where overflow = max(0, needed_max -
-    s_cap): a POSITIVE value means some tile needed more clusters than the
-    shortlist holds and results may be inexact — callers must surface it
-    exactly like a capacity-budget overflow (the renderer sows it into the
-    'diag' collection; bench.py asserts all counters zero).  Otherwise
-    falls back to the exact full-scan dispatch with overflow == 0."""
+    returns (dist_sq, idx, overflow).  NOTE: with the current DYNAMIC
+    shortlist kernel the overflow is ALWAYS 0 — the kernel visits however
+    many clusters the exactness bound requires (its ``s_cap`` is ignored),
+    so results are exact by construction and the renderer's
+    ``knn_shortlist_overflow`` diag counter cannot fire.  The third return
+    is kept so a future FIXED-capacity shortlist kernel (which genuinely
+    can overflow) plugs into the same renderer plumbing: callers must
+    treat a positive value exactly like a capacity-budget overflow.
+    Without a TPU backend or with ``s_cap`` == 0, falls back to the exact
+    full-scan dispatch, also with overflow == 0."""
     backend = jax.default_backend()
     if backend in ("tpu", "axon") and s_cap > 0:
         from sherf_tpu.kernels import knn_pallas as kp

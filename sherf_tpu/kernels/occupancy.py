@@ -37,8 +37,17 @@ CELL = 0.0125            # meters; 192 * 0.0125 = 2.4 m cube covers any SMPL
 #                          measurably faster in-frame.
 # unreachable-cell sentinel (window-truncated); int16 halves the EDT
 # build's HBM traffic (~40-70 shifted passes over the 7M-cell grid);
-# 30000 + the largest window offset^2 (<= ~300) stays below int16 max
+# 30000 + the largest window offset^2 (<= INT16_W2_MAX) stays below
+# int16 max.  INT16_W2_MAX bounds the supported (radius + step_margin):
+# calibrate_budgets validates the fitted margin against it up front.
+INT16_W2_MAX = 300
 _INF = jnp.int16(30000)
+
+
+def edt_window_cells(radius: float, cell: float = CELL) -> int:
+    """EDT window half-width (in cells) the ball test needs for ``radius``
+    — the value distance_grid's int16 headroom assert is checked against."""
+    return int(math.ceil(math.sqrt(_ball_threshold_cells_sq(radius, cell))))
 
 
 def _shift_axis(x: jnp.ndarray, off: int, axis: int) -> jnp.ndarray:
@@ -70,7 +79,12 @@ def distance_grid(verts: jnp.ndarray, lo: jnp.ndarray, w: int,
     whenever that minimum is <= w^2 (window truncation only affects
     farther cells).
     """
-    assert w * w <= 300, "int16 _INF headroom assumes small windows"
+    assert w * w <= INT16_W2_MAX, (
+        f"EDT window w={w} (w*w={w * w}) exceeds the int16 sentinel "
+        f"headroom {INT16_W2_MAX}: the prune radius + step margin is too "
+        f"large for this grid — raise depth_resolution (shrinks per-ray "
+        f"steps and the fitted margin), set prune_stride=1 (drops the "
+        f"margin from the ball), or widen the EDT grid to int32")
     G = grid_size
     vidx = jnp.floor((verts - lo) / cell).astype(jnp.int32)
     ok = jnp.all((vidx >= 0) & (vidx < G), axis=-1)

@@ -143,21 +143,28 @@ def test_subm_conv_grad_matches_scatter_adjoint():
     # masked output, as in SparseStage (invalid rows carry no gradient)
     cot = cot * valid[:, None]
 
-    def ours(f):
-        out = subm_conv3d(f, jnp.asarray(coords), grid, shape, w, valid)
+    def ours(f, ww):
+        out = subm_conv3d(f, jnp.asarray(coords), grid, shape, ww, valid)
         return jnp.sum(out * cot)
 
-    def ref(f):
+    def ref(f, ww):
         from sherf_tpu.features.sparseconv import neighbor_ids
         nbr = neighbor_ids(grid, shape, jnp.asarray(coords))
         fp = jnp.concatenate([jnp.zeros((1, 6), f.dtype), f], 0)
         rows = fp[nbr.reshape(-1)].reshape(80, 27, 6)
-        out = jnp.einsum("ski,kio->so", rows, w.reshape(27, 6, 5))
+        out = jnp.einsum("ski,kio->so", rows, ww.reshape(27, 6, 5))
         return jnp.sum(out * cot)
 
-    np.testing.assert_allclose(np.asarray(jax.grad(ours)(feats)),
-                               np.asarray(jax.grad(ref)(feats)),
+    # BOTH hand-written adjoints of the custom VJP: d_feats (inverse-table
+    # gather) and d_w (rows.T @ g recompute) — the d_w path feeds training
+    # and was previously untested (advisor r4)
+    np.testing.assert_allclose(np.asarray(jax.grad(ours)(feats, w)),
+                               np.asarray(jax.grad(ref)(feats, w)),
                                rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(ours, argnums=1)(feats, w)),
+        np.asarray(jax.grad(ref, argnums=1)(feats, w)),
+        rtol=1e-5, atol=1e-5)
 
 
 def test_stride_conv_grad_matches_scatter_adjoint():
@@ -173,22 +180,27 @@ def test_stride_conv_grad_matches_scatter_adjoint():
     cot = jnp.asarray(rng.randn(256, 7).astype(np.float32))
     cot = cot * new_valid[:, None]
 
-    def ours(f):
-        out = stride_conv3d(f, grid, shape, new_coords, w, new_valid,
+    def ours(f, ww):
+        out = stride_conv3d(f, grid, shape, new_coords, ww, new_valid,
                             valid_in)
         return jnp.sum(out * cot)
 
-    def ref(f):
+    def ref(f, ww):
         from sherf_tpu.features.sparseconv import neighbor_ids
         nbr = neighbor_ids(grid, shape, 2 * new_coords)
         fp = jnp.concatenate([jnp.zeros((1, 4), f.dtype), f], 0)
         rows = fp[nbr.reshape(-1)].reshape(256, 27, 4)
-        out = jnp.einsum("ski,kio->so", rows, w.reshape(27, 4, 7))
+        out = jnp.einsum("ski,kio->so", rows, ww.reshape(27, 4, 7))
         return jnp.sum(out * cot)
 
-    np.testing.assert_allclose(np.asarray(jax.grad(ours)(feats)),
-                               np.asarray(jax.grad(ref)(feats)),
+    # d_feats AND the hand-derived d_w (advisor r4: d_w was untested)
+    np.testing.assert_allclose(np.asarray(jax.grad(ours)(feats, w)),
+                               np.asarray(jax.grad(ref)(feats, w)),
                                rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(ours, argnums=1)(feats, w)),
+        np.asarray(jax.grad(ref, argnums=1)(feats, w)),
+        rtol=1e-5, atol=1e-5)
 
 
 def test_dense_readout_matches_index_readout():
@@ -205,3 +217,101 @@ def test_dense_readout_matches_index_readout():
     b = np.asarray(trilinear_dense_sample(jnp.asarray(feats), jnp.asarray(coords),
                                           valid, shape, jnp.asarray(pos)))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# dense-conv dispatch for coarse scales (r5): identical math, MXU form
+
+
+def test_dense_stage_matches_sparse_stage():
+    """SparseStage(dense=True) — densify -> XLA conv3d -> gather — must
+    reproduce the gathered sparse form (same params) in value AND in both
+    gradients (the sparse path runs a hand-written VJP, the dense path
+    XLA autodiff)."""
+    from sherf_tpu.features.sparseconv import SparseStage, pack_grid_yx
+
+    rng = np.random.RandomState(11)
+    shape = (10, 12, 14)
+    coords = jnp.asarray(_random_sites(rng, 80, shape))
+    valid = jnp.asarray(np.arange(80) < 64)
+    feats = jnp.asarray(rng.randn(80, 6).astype(np.float32))
+    grid = build_index_grid(coords, valid, shape)
+    packed = pack_grid_yx(grid, shape, 80)
+
+    stage = SparseStage(8, 2)
+    variables = stage.init(jax.random.PRNGKey(0), feats, coords, packed,
+                           shape, valid)
+
+    def run(f, v, dense):
+        return stage.apply(v, f, coords, packed if not dense else None,
+                           shape, valid, dense=dense)
+
+    out_s = run(feats, variables, False)
+    out_d = run(feats, variables, True)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-4)
+
+    cot = jnp.asarray(rng.randn(*out_s.shape).astype(np.float32))
+    g_s = jax.grad(lambda f, v: jnp.sum(run(f, v, False) * cot),
+                   argnums=(0, 1))(feats, variables)
+    g_d = jax.grad(lambda f, v: jnp.sum(run(f, v, True) * cot),
+                   argnums=(0, 1))(feats, variables)
+    np.testing.assert_allclose(np.asarray(g_d[0]), np.asarray(g_s[0]),
+                               rtol=1e-4, atol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
+        g_d[1]["params"], g_s[1]["params"])
+
+
+def test_dense_down_matches_sparse_down():
+    from sherf_tpu.features.sparseconv import SparseDown, pack_grid_yx
+
+    rng = np.random.RandomState(12)
+    shape = (9, 11, 13)
+    coords = jnp.asarray(_random_sites(rng, 60, shape))
+    valid = jnp.asarray(np.arange(60) < 50)
+    feats = jnp.asarray(rng.randn(60, 4).astype(np.float32))
+    grid = build_index_grid(coords, valid, shape)
+    packed = pack_grid_yx(grid, shape, 60)
+
+    down = SparseDown(8, cap=128)
+    variables = down.init(jax.random.PRNGKey(0), feats, coords, grid,
+                          packed, shape, valid)
+
+    def run(dense):
+        return down.apply(variables, feats, coords, grid, packed, shape,
+                          valid, dense=dense, need_packed=not dense)
+
+    out_s, c_s, g_s, p_s, sh_s, v_s = run(False)
+    out_d, c_d, g_d, p_d, sh_d, v_d = run(True)
+    assert sh_s == sh_d
+    np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_d))
+    np.testing.assert_array_equal(np.asarray(v_s), np.asarray(v_d))
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-4)
+    assert p_d is None and p_s is not None
+
+
+def test_dense_scales_convnet_matches_sparse(monkeypatch):
+    """Whole SparseConvNet with every eligible scale dense vs all-sparse:
+    same params, matching multi-scale readout features."""
+    import sherf_tpu.features.sparseconv as sc
+
+    rng = np.random.RandomState(13)
+    verts = rng.randn(500, 3).astype(np.float32) * 0.3
+    min_dhw, out_sh = prepare_voxel_volume(verts)
+    coords = voxelize_coords(jnp.asarray(verts), min_dhw)
+    feats = jnp.asarray(rng.randn(500, 32).astype(np.float32))
+    query = world_to_voxel_f(jnp.asarray(verts[:64]), min_dhw)
+
+    model = SparseConvNet(num_layers=4, out_sh=out_sh, caps=(1024, 1024, 1024))
+
+    monkeypatch.setattr(sc, "DENSE_SCALES", frozenset())
+    variables = model.init(jax.random.PRNGKey(0), feats, coords, query)
+    out_sparse = model.apply(variables, feats, coords, query)
+
+    monkeypatch.setattr(sc, "DENSE_SCALES", frozenset({1, 2, 3}))
+    out_dense = model.apply(variables, feats, coords, query)
+    np.testing.assert_allclose(np.asarray(out_dense), np.asarray(out_sparse),
+                               rtol=1e-3, atol=1e-3)
