@@ -6,13 +6,18 @@ Output layout matches the reference exactly:
 where each sin/cos block covers all input dims and f_k = 2^k
 (freqs = 2^linspace(0, num_freqs-1)).
 
-Direct sin/cos evaluation in the natural layout: a double-angle
-recurrence variant (sin 2a = 2 sin a cos a) was used in rounds 1-2, but
-its channel-major intermediate forces a (P, N, d) -> (N, P*d) transpose
-with a tiny minor dimension that dominates at the compacted point counts
-(measured 2.8 s (!) vs 4 ms direct for the production trio of encodings
-at 196k points on v5e — the transcendentals were never the cost).
-``exact`` is kept for API compatibility; both paths are identical now.
+Default path: double-angle recurrence emitted SEQUENTIALLY in the
+natural part order (sin 2a = 2 sin a cos a, cos 2a = 1 - 2 sin^2 a) — one
+transcendental pair total instead of one per frequency, and zero layout
+churn because each (..., d) part lands directly in its concat slot.  (A
+rounds-1-2 recurrence variant vectorized over frequencies first and its
+channel-major (P, N, d) intermediate forced a transpose with a tiny minor
+dim that measured 2.8 s (!) at 196k points; the sequential form has no
+such intermediate.  Direct evaluation shipped r2-r4 and its sine/convert
+fusions traced 4.8 ms of the production frame.)  ``exact=True`` selects
+direct sin/cos evaluation; the recurrence tracks it to <2e-5 absolute
+(test_features.py::test_positional_encoding_recurrence_matches_exact),
+invisible under the decoder's bf16 input casts.
 """
 
 from __future__ import annotations
@@ -25,10 +30,16 @@ def positional_encoding(x: jnp.ndarray, num_freqs: int,
                         include_input: bool = True,
                         exact: bool = False) -> jnp.ndarray:
     """x: (..., d) -> (..., d * 2 * num_freqs [+ d])."""
-    del exact  # one path: direct evaluation (see module docstring)
-    freqs = 2.0 ** np.linspace(0.0, num_freqs - 1, num_freqs)
     parts = [x] if include_input else []
-    for f in freqs:
-        parts.append(jnp.sin(x * f))
-        parts.append(jnp.cos(x * f))
+    if exact:
+        freqs = 2.0 ** np.linspace(0.0, num_freqs - 1, num_freqs)
+        for f in freqs:
+            parts.append(jnp.sin(x * f))
+            parts.append(jnp.cos(x * f))
+        return jnp.concatenate(parts, axis=-1)
+    s, c = jnp.sin(x), jnp.cos(x)
+    parts += [s, c]
+    for _ in range(num_freqs - 1):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        parts += [s, c]
     return jnp.concatenate(parts, axis=-1)

@@ -269,22 +269,24 @@ def _conv_core_bwd(res, g):
 _conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
 
 
-def conv3d_by_ids(feats, nbr, weight, inv_nbr, valid_in):
+def conv3d_by_ids(feats, nbr, weight, inv_nbr, valid_in, train: bool = True):
     """Sparse 3x3x3 conv given precomputed neighbor ids (S, 27) and their
     inverse table (S_in, 27).
 
-    SHERF_CONV_KPAD=32 pads the neighborhood 27 -> 32 with empty ids and
-    zero weight taps so the gathered (S*27, C) -> (S, 27, C) reshape is
+    K padding (27 -> 32): pads the neighborhood with empty ids and zero
+    weight taps so the gathered (S*27, C) -> (S, 27, C) reshape is
     layout-preserving (27 is not a multiple of the sublane tile; the
-    relayout cost ~2ms/frame of the eval render).  Off by default: the
-    extra 5 zero taps cost ~18ms/step in the TRAINING backward (the
-    adjoint re-gathers every tap), which far outweighs the eval saving.
-    Zero-id taps read the zero row and contribute exactly nothing either
-    way."""
+    relayout traced ~5ms/frame of the eval render at sparseconv.py:228 —
+    -2ms measured end-to-end, r5).  Keyed on ``train``: EVAL pads (the
+    forward-only program keeps the saving), TRAINING does not (the extra
+    5 zero taps cost ~18ms/step in the backward, whose adjoint re-gathers
+    every tap — r3 A/B).  SHERF_CONV_KPAD overrides both modes.  Zero-id
+    taps read the zero row and contribute exactly nothing either way."""
     import os
 
     K = nbr.shape[1]
-    pad = -K % int(os.environ.get("SHERF_CONV_KPAD", "27"))
+    default = "27" if train else "32"
+    pad = -K % int(os.environ.get("SHERF_CONV_KPAD", default))
     if pad:
         nbr = jnp.pad(nbr, ((0, 0), (0, pad)))
         inv_nbr = jnp.pad(inv_nbr, ((0, 0), (0, pad)))
@@ -295,31 +297,33 @@ def conv3d_by_ids(feats, nbr, weight, inv_nbr, valid_in):
     return _conv_core(feats, nbr, w.astype(feats.dtype), inv_nbr, valid_in)
 
 
-def subm_conv3d(feats, coords, grid, shape, weight, valid_in):
+def subm_conv3d(feats, coords, grid, shape, weight, valid_in,
+                train: bool = True):
     """Submanifold conv: out[s] = sum_k W[k] . in[coord_s + k].
 
     feats: (S, Ci); weight: (3, 3, 3, Ci, Co).  Returns (S, Co).
     The inverse neighbor table is free: _OFFSETS[26-k] == -_OFFSETS[k] and
     in/out share the site grid, so inv = nbr reversed along k."""
     nbr = neighbor_ids(grid, shape, coords)
-    return conv3d_by_ids(feats, nbr, weight, nbr[:, ::-1], valid_in)
+    return conv3d_by_ids(feats, nbr, weight, nbr[:, ::-1], valid_in,
+                         train=train)
 
 
 def stride_conv3d(feats, grid_in, shape_in, out_coords, weight, valid_out,
-                  valid_in):
+                  valid_in, train: bool = True):
     """Strided conv (kernel 3, stride 2, pad 1): out[o] = sum_k W[k] .
     in[2*o + k - 1].  Returns (S_out, Co)."""
     nbr = neighbor_ids(grid_in, shape_in, 2 * out_coords)
     inv = invert_neighbor_ids(nbr, valid_out, feats.shape[0])
-    return conv3d_by_ids(feats, nbr, weight, inv, valid_in)
+    return conv3d_by_ids(feats, nbr, weight, inv, valid_in, train=train)
 
 
 def stride_conv3d_packed(feats, packed_in, shape_in, out_coords, weight,
-                         valid_out, valid_in):
+                         valid_out, valid_in, train: bool = True):
     """:func:`stride_conv3d` with neighbor ids from a yx-packed grid."""
     nbr = neighbor_ids_packed(packed_in, shape_in, 2 * out_coords)
     inv = invert_neighbor_ids(nbr, valid_out, feats.shape[0])
-    return conv3d_by_ids(feats, nbr, weight, inv, valid_in)
+    return conv3d_by_ids(feats, nbr, weight, inv, valid_in, train=train)
 
 
 def downsample_sites(coords_in, valid_in, shape_in, cap: int):
@@ -828,7 +832,7 @@ class SparseStage(nn.Module):
             cin = feats.shape[-1]
             w = self.param(f"conv{i}", nn.initializers.variance_scaling(
                 1.0, "fan_in", "normal"), (3, 3, 3, cin, self.out_channels))
-            feats = conv3d_by_ids(feats, nbr, w, inv, valid)
+            feats = conv3d_by_ids(feats, nbr, w, inv, valid, train=train)
             feats = MaskedBatchNorm(name=f"bn{i}")(feats, valid, train=train)
             feats = nn.relu(feats) * valid[:, None]
         return feats
@@ -861,7 +865,7 @@ class SparseDown(nn.Module):
             out = gather_dense_at_sites(y, new_coords, new_valid, new_shape)
         else:
             out = stride_conv3d_packed(feats, packed, shape, new_coords, w,
-                                       new_valid, valid)
+                                       new_valid, valid, train=train)
         out = MaskedBatchNorm(name="bn")(out, new_valid, train=train)
         out = nn.relu(out) * new_valid[:, None]
         new_grid = build_index_grid(new_coords, new_valid, new_shape)

@@ -41,8 +41,25 @@ P_TILE = int(os.environ.get("SHERF_KNN_P", "512"))    # points per program
 # per-coordinate difference tiles + the accumulated d2 tile) inside the
 # 16MB scoped-vmem budget with headroom; 1024 was over budget for the
 # earlier bf16x3 split variant and buys nothing here (VPU-bound)
-V_TILE = int(os.environ.get("SHERF_KNN_V", "2048"))   # vertices per inner tile
+_V_ENV = int(os.environ.get("SHERF_KNN_V", "0"))      # fixed vertex tile (A/B)
 SENTINEL = 1e6     # padded-vertex coordinate
+
+
+def _vtile_for(v: int, p_tile: int = None) -> int:
+    """Vertex tile for a scan over ``v`` vertices: round V up to the next
+    lane multiple (128) and split into the fewest equal tiles whose
+    (P, VT) f32 temps stay within ~14MB of the 16MB scoped-vmem budget.
+
+    The old fixed V_TILE=2048 padded SMPL's 6890 vertices to 8192 — an
+    18.9% dead-column overhead every kernel paid on every frame; minimal
+    padding (6890 -> 2x3456 = 6912, 0.3%) measured -5.4 ms on the
+    production 512x512x48 render (r5 A/B, BASELINE.md)."""
+    if _V_ENV:
+        return _V_ENV
+    p = p_tile or P_TILE
+    vmax = max(128, (7 * 1024 * 1024) // (4 * p) // 128 * 128)
+    n = -(-v // vmax)                       # tiles needed under the budget
+    return -(-(-(-v // n)) // 128) * 128    # ceil(v / n) rounded up to 128
 
 # clustered (branch-and-bound) kernel knobs: vertices are Morton-sorted
 # per frame and chunked into clusters of C_SIZE; the kernel visits a
@@ -107,13 +124,14 @@ def _cluster_stats(vs_pad: jnp.ndarray, n_real: int):
     return _cluster_stats_sized(vs_pad, n_real, C_SIZE)
 
 
-def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
+def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int,
+                v_tile: int):
     """q_ref: (P, 3); v_ref: (3, V_pad); dist_ref/idx_ref: (P, 1)."""
     q = q_ref[:]                                     # (P, 3)
     best = jnp.full((P_TILE, 1), jnp.inf, jnp.float32)
     best_i = jnp.zeros((P_TILE, 1), jnp.int32)
     for t in range(n_vtiles):
-        v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]      # (3, VT)
+        v = v_ref[:, pl.ds(t * v_tile, v_tile)]      # (3, VT)
         # exact elementwise difference form: |q - v|^2 built from true
         # f32 subtractions — no cancellation of large |q|^2-ish terms, so
         # no MXU precision concerns (the matmul expansion at DEFAULT MXU
@@ -123,7 +141,7 @@ def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int):
         d2 = d2 + jnp.square(q[:, 1:2] - v[1:2, :])
         d2 = d2 + jnp.square(q[:, 2:3] - v[2:3, :])
         m = jnp.min(d2, axis=1, keepdims=True)       # (P, 1)
-        i = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32) + t * V_TILE
+        i = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32) + t * v_tile
         upd = m < best
         best = jnp.where(upd, m, best)
         best_i = jnp.where(upd, i, best_i)
@@ -382,7 +400,8 @@ def nn_1_shortlist_pallas(query: jnp.ndarray, ref: jnp.ndarray,
 RSEG_P = int(os.environ.get("SHERF_RSEG_P", "256"))
 
 
-def _ray_seg_kernel(r_ref, v_ref, out_ref, *, n_vtiles: int, thr: float):
+def _ray_seg_kernel(r_ref, v_ref, out_ref, *, n_vtiles: int, thr: float,
+                    v_tile: int):
     """Min squared distance from a ray LINE to the vertex set, reduced to
     a <thr boolean.  r_ref: (P, 8) rows [o|d|active|0]; v_ref: (3, V').
 
@@ -412,7 +431,7 @@ def _ray_seg_kernel(r_ref, v_ref, out_ref, *, n_vtiles: int, thr: float):
                                    1e-12)
         best = jnp.full((r.shape[0], 1), jnp.inf, jnp.float32)
         for t in range(n_vtiles):
-            v = v_ref[:, pl.ds(t * V_TILE, V_TILE)]      # (3, VT)
+            v = v_ref[:, pl.ds(t * v_tile, v_tile)]      # (3, VT)
             # exact elementwise form: a = |v-o|^2 and b = d.(v-o) built
             # from true f32 per-coordinate differences (the matmul
             # expansion at DEFAULT MXU precision erred ~5e-2 m^2 and
@@ -540,7 +559,8 @@ def ray_body_mask_pallas(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
     n = ray_o.shape[0]
     v = verts.shape[0]
     n_pad = -n % RSEG_P
-    v_pad = -v % V_TILE
+    v_tile = _vtile_for(v, RSEG_P)
+    v_pad = -v % v_tile
     ctr = jnp.mean(verts.astype(jnp.float32), axis=0)
     act = (jnp.ones((n,), jnp.float32) if active is None
            else active.astype(jnp.float32))
@@ -552,8 +572,8 @@ def ray_body_mask_pallas(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
     vt = jnp.pad(verts.astype(jnp.float32) - ctr, ((0, v_pad), (0, 0)),
                  constant_values=SENTINEL).T
     out = pl.pallas_call(
-        functools.partial(_ray_seg_kernel, n_vtiles=vt.shape[1] // V_TILE,
-                          thr=float(threshold_sq)),
+        functools.partial(_ray_seg_kernel, n_vtiles=vt.shape[1] // v_tile,
+                          thr=float(threshold_sq), v_tile=v_tile),
         grid=(rows.shape[0] // RSEG_P,),
         in_specs=[
             pl.BlockSpec((RSEG_P, 8), lambda i: (i, 0),
@@ -575,7 +595,8 @@ def nn_1_pallas(query: jnp.ndarray, ref: jnp.ndarray,
     n = query.shape[0]
     v = ref.shape[0]
     n_pad = -n % P_TILE
-    v_pad = -v % V_TILE
+    v_tile = _vtile_for(v)
+    v_pad = -v % v_tile
     # center on the vertex centroid: distances are translation-invariant
     # and smaller magnitudes shrink the bf16x3 cancellation error
     ctr = jnp.mean(ref.astype(jnp.float32), axis=0)
@@ -583,10 +604,10 @@ def nn_1_pallas(query: jnp.ndarray, ref: jnp.ndarray,
     vt = jnp.pad(ref.astype(jnp.float32) - ctr, ((0, v_pad), (0, 0)),
                  constant_values=SENTINEL).T                          # (3, V')
     n_tiles = qt.shape[0] // P_TILE
-    n_vtiles = vt.shape[1] // V_TILE
+    n_vtiles = vt.shape[1] // v_tile
 
     dist, idx = pl.pallas_call(
-        functools.partial(_knn_kernel, n_vtiles=n_vtiles),
+        functools.partial(_knn_kernel, n_vtiles=n_vtiles, v_tile=v_tile),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((P_TILE, 3), lambda i: (i, 0),
