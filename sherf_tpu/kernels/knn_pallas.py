@@ -559,7 +559,10 @@ def ray_body_mask_pallas(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
     n = ray_o.shape[0]
     v = verts.shape[0]
     n_pad = -n % RSEG_P
-    v_tile = _vtile_for(v, RSEG_P)
+    # budget as if P=512 even though RSEG_P=256: one (256, 6912) megatile
+    # measured 7.5 ms vs 5.5 ms for 2x3456 (r5 trace) — the single-tile
+    # loop pipelines worse despite fitting VMEM
+    v_tile = _vtile_for(v)
     v_pad = -v % v_tile
     ctr = jnp.mean(verts.astype(jnp.float32), axis=0)
     act = (jnp.ones((n,), jnp.float32) if active is None
