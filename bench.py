@@ -20,7 +20,7 @@ REFERENCE_FPS_BASELINE = 0.5  # A100 torch reference estimate (BASELINE.md)
 
 
 def main(H=512, W=512, depth=48, iters=30, capacity_frac=None,
-         ray_frac=None, exact_frac=None, margin=1.15):
+         ray_frac=None, exact_frac=None, margin=1.15, stride=None):
     """Budget fracs default to None = scene-calibrated (core/calibrate.py):
     the static prune capacities are fitted to the scene's measured survivor
     counts with `margin` headroom, exactly as a production deployment would
@@ -57,9 +57,10 @@ def main(H=512, W=512, depth=48, iters=30, capacity_frac=None,
     from sherf_tpu.core.calibrate import calibrate_sparse_caps, \
         measure_sparse_sites
 
+    rc_kw = {} if stride is None else {"prune_stride": stride}
     cfg = ModelConfig(compute_dtype="bfloat16",
                       render=RenderConfig(
-                          depth_resolution=depth, density_noise=0.0))
+                          depth_resolution=depth, density_noise=0.0, **rc_kw))
     _, out_sh = prepare_voxel_volume(t_verts, voxel_size=cfg.voxel_size)
     sparse_caps = calibrate_sparse_caps([t_verts], cfg.voxel_size)
     sites = measure_sparse_sites(t_verts, cfg.voxel_size)

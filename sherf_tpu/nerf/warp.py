@@ -126,6 +126,47 @@ def c2source_tables(smpl: SMPLModel, ctx_src: PoseContext,
         ctx_src.pose_offsets], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Column (structure-of-arrays) helpers: per-point 3x3/3-vector math on
+# (N, 3)-shaped tensors runs at 3/128 lane utilization on TPU (the minor
+# dim maps to the 128-lane axis), and the warp chain's subs/adds/matvecs
+# traced ~6 ms of the production frame in that form.  Operating on (N,)
+# COLUMNS keeps every elementwise op full-lane; only the bw @ A blends
+# stay matrices (they are real MXU matmuls).
+
+
+def _mat_cols(A_pt: jnp.ndarray):
+    """(N, 16) row-major blended 4x4 -> (9 rotation cols, 3 translation
+    cols), each (N,)."""
+    R = [A_pt[:, 4 * a + b] for a in range(3) for b in range(3)]
+    t = [A_pt[:, 4 * a + 3] for a in range(3)]
+    return R, t
+
+
+def _inv3_cols(r):
+    """Adjugate/det inverse on 9 row-major (N,) columns (same math as
+    :func:`_inv3`)."""
+    a, b, c, d, e, f, g, h, i = r
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    return [A / det, B / det, C / det, D / det, E / det,
+            F / det, G / det, H / det, I / det]
+
+
+def _mv_cols(R, v):
+    """y_a = sum_b R[3a+b] v_b on columns."""
+    return [R[3 * a + 0] * v[0] + R[3 * a + 1] * v[1] + R[3 * a + 2] * v[2]
+            for a in range(3)]
+
+
 @_f32_matmuls
 def deform_target2c_from_tables(ctx_pose: PoseContext, ctx_big: PoseContext,
                                 payload: jnp.ndarray, q_pts: jnp.ndarray,
@@ -133,26 +174,25 @@ def deform_target2c_from_tables(ctx_pose: PoseContext, ctx_big: PoseContext,
     """Core of the posed->canonical warp given the nearest-vertex payload
     (see :func:`target2c_tables`).  payload: (N, 33)."""
     bw = payload[:, :24]
-    pose_off = payload[:, 24:27]
-    shape_off = payload[:, 27:30]
-    big_off = payload[:, 30:33]
 
-    A_pt = (bw @ ctx_pose.A.reshape(24, 16)).reshape(-1, 4, 4)
-    can = q_pts - A_pt[:, :3, 3]
-    R_inv = _inv3(A_pt[:, :3, :3])
-    can = jnp.einsum("nab,nb->na", R_inv, can)
+    A_pt = bw @ ctx_pose.A.reshape(24, 16)          # (N, 16) — MXU
+    R, t = _mat_cols(A_pt)
+    Ri = _inv3_cols(R)
+    can = _mv_cols(Ri, [q_pts[:, a] - t[a] for a in range(3)])
     if q_dirs is not None:
-        q_dirs = jnp.einsum("nab,nb->na", R_inv, q_dirs)
+        dirs = _mv_cols(Ri, [q_dirs[:, a] for a in range(3)])
 
     # pose/shape blendshape corrections -> mean-shape T pose -> big pose
-    can = can - pose_off - shape_off + big_off
+    can = [can[a] - payload[:, 24 + a] - payload[:, 27 + a]
+           + payload[:, 30 + a] for a in range(3)]
 
-    A_big = (bw @ ctx_big.A.reshape(24, 16)).reshape(-1, 4, 4)
-    can = jnp.einsum("nab,nb->na", A_big[:, :3, :3], can) + A_big[:, :3, 3]
+    A_big = bw @ ctx_big.A.reshape(24, 16)
+    Rb, tb = _mat_cols(A_big)
+    can = [v + tb[a] for a, v in enumerate(_mv_cols(Rb, can))]
     if q_dirs is not None:
-        q_dirs = jnp.einsum("nab,nb->na", A_big[:, :3, :3], q_dirs)
-        return can, q_dirs
-    return can
+        dirs = _mv_cols(Rb, dirs)
+        return jnp.stack(can, axis=-1), jnp.stack(dirs, axis=-1)
+    return jnp.stack(can, axis=-1)
 
 
 @_f32_matmuls
@@ -185,19 +225,26 @@ def deform_c2source_from_tables(ctx_src: PoseContext, ctx_big: PoseContext,
         bw = bw + 0.2 * weights_correction
     bw = bw / jnp.sum(bw, axis=-1, keepdims=True)
 
-    A_big = (bw @ ctx_big.A.reshape(24, 16)).reshape(-1, 4, 4)
-    q = q_pts - A_big[:, :3, 3]
-    q = jnp.einsum("nab,nb->na", _inv3(A_big[:, :3, :3]), q)
+    A_big = bw @ ctx_big.A.reshape(24, 16)          # (N, 16) — MXU
+    Rb, tb = _mat_cols(A_big)
+    q = _mv_cols(_inv3_cols(Rb), [q_pts[:, a] - tb[a] for a in range(3)])
 
     # big pose -> T pose (mean shape), then to the source's shape/pose
-    q = q - big_off + shape_off + pose_off
+    q = [q[a] - big_off[:, a] + shape_off[:, a] + pose_off[:, a]
+         for a in range(3)]
 
-    A_src = (bw @ ctx_src.A.reshape(24, 16)).reshape(-1, 4, 4)
-    smpl_src = jnp.einsum("nab,nb->na", A_src[:, :3, :3], q) + A_src[:, :3, 3]
+    A_src = bw @ ctx_src.A.reshape(24, 16)
+    Rs, ts = _mat_cols(A_src)
+    sm = [v + ts[a] for a, v in enumerate(_mv_cols(Rs, q))]
 
     # SMPL coords -> world (renderer.py:680-682): smpl = (world - Th) @ R,
-    # so world = smpl @ inv(R) + Th
-    world_src = smpl_src @ _inv3(ctx_src.R) + ctx_src.Th
+    # so world = smpl @ inv(R) + Th — inv(R) is one 3x3, broadcast as
+    # scalars over the columns
+    Rinv = _inv3(ctx_src.R)
+    world = [sm[0] * Rinv[0, a] + sm[1] * Rinv[1, a] + sm[2] * Rinv[2, a]
+             + ctx_src.Th[a] for a in range(3)]
+    smpl_src = jnp.stack(sm, axis=-1)
+    world_src = jnp.stack(world, axis=-1)
     return smpl_src, world_src, bw
 
 
