@@ -126,27 +126,34 @@ def _cluster_stats(vs_pad: jnp.ndarray, n_real: int):
 
 def _knn_kernel(q_ref, v_ref, dist_ref, idx_ref, *, n_vtiles: int,
                 v_tile: int):
-    """q_ref: (P, 3); v_ref: (3, V_pad); dist_ref/idx_ref: (P, 1)."""
-    q = q_ref[:]                                     # (P, 3)
-    best = jnp.full((P_TILE, 1), jnp.inf, jnp.float32)
-    best_i = jnp.zeros((P_TILE, 1), jnp.int32)
+    """q_ref: (8, P) TRANSPOSED queries (rows 0-2 = xyz, rest pad);
+    v_ref: (V_pad, 8) (cols 0-2 = xyz); dist_ref/idx_ref: (1, 8, P).
+
+    Distance tiles are laid out (VT, P) — queries along the 128-lane axis
+    — so the min/argmin reduce over SUBLANES, not lanes: the lane-axis
+    reduction of the previous (P, VT) layout measured ~40% more device
+    time for the same element count (r5 A/B, tools/profile_knn_t.py,
+    exact-match verified)."""
+    q = q_ref[:]                                     # (8, P)
+    best = jnp.full((1, P_TILE), jnp.inf, jnp.float32)
+    best_i = jnp.zeros((1, P_TILE), jnp.int32)
     for t in range(n_vtiles):
-        v = v_ref[:, pl.ds(t * v_tile, v_tile)]      # (3, VT)
+        v = v_ref[pl.ds(t * v_tile, v_tile), :]      # (VT, 8)
         # exact elementwise difference form: |q - v|^2 built from true
         # f32 subtractions — no cancellation of large |q|^2-ish terms, so
         # no MXU precision concerns (the matmul expansion at DEFAULT MXU
-        # precision erred ~5e-2 m^2; bf16x3 splits cost ~3 extra (P, VT)
-        # passes for ~the same VPU traffic as this form)
-        d2 = jnp.square(q[:, 0:1] - v[0:1, :])
-        d2 = d2 + jnp.square(q[:, 1:2] - v[1:2, :])
-        d2 = d2 + jnp.square(q[:, 2:3] - v[2:3, :])
-        m = jnp.min(d2, axis=1, keepdims=True)       # (P, 1)
-        i = jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32) + t * v_tile
+        # precision erred ~5e-2 m^2; bf16x3 splits cost ~3 extra passes
+        # for ~the same VPU traffic as this form)
+        d2 = jnp.square(v[:, 0:1] - q[0:1, :])
+        d2 = d2 + jnp.square(v[:, 1:2] - q[1:2, :])
+        d2 = d2 + jnp.square(v[:, 2:3] - q[2:3, :])  # (VT, P)
+        m = jnp.min(d2, axis=0, keepdims=True)       # (1, P)
+        i = jnp.argmin(d2, axis=0, keepdims=True).astype(jnp.int32) + t * v_tile
         upd = m < best
         best = jnp.where(upd, m, best)
         best_i = jnp.where(upd, i, best_i)
-    dist_ref[:] = best
-    idx_ref[:] = best_i
+    dist_ref[:] = jnp.broadcast_to(best, (8, P_TILE))[None]
+    idx_ref[:] = jnp.broadcast_to(best_i, (8, P_TILE))[None]
 
 
 def _knn_cluster_kernel(q_ref, v_ref, c_ref, r_ref, dist_ref, idx_ref,
@@ -415,35 +422,40 @@ def _ray_seg_kernel(r_ref, v_ref, out_ref, *, n_vtiles: int, thr: float,
     are already AABB-misses, and the combined mask is AND-ed with
     mask_at_box.)
 
-    Column 6 carries the per-ray AABB-hit flag: the caller ANDs the
+    Row 6 carries the per-ray AABB-hit flag: the caller ANDs the
     result with mask_at_box anyway, so a tile with NO hitting ray can skip
     the whole vertex scan (rays are image-raster-ordered — background
     tiles are the common case) and write zeros.  One branch per tile, not
     per cluster (cf. the clustered kernels, whose per-cluster pl.when
-    chain measured slower than the scan it saved)."""
-    r = r_ref[:]
-    o, d = r[:, 0:3], r[:, 3:6]
+    chain measured slower than the scan it saved).
+
+    TRANSPOSED layout (r5): r_ref (8, P) with rays along lanes, v_ref
+    (V', 8) — distance tiles (VT, P) reduce over sublanes (see
+    :func:`_knn_kernel`)."""
+    r = r_ref[:]                                         # (8, P)
     out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(jnp.max(r[:, 6]) > 0.0)
+    @pl.when(jnp.max(r[6:7, :]) > 0.0)
     def _():
-        dd_inv = 1.0 / jnp.maximum(jnp.sum(d * d, axis=1, keepdims=True),
-                                   1e-12)
-        best = jnp.full((r.shape[0], 1), jnp.inf, jnp.float32)
+        dd = r[3:4, :] * r[3:4, :] + r[4:5, :] * r[4:5, :] \
+            + r[5:6, :] * r[5:6, :]
+        dd_inv = 1.0 / jnp.maximum(dd, 1e-12)            # (1, P)
+        best = jnp.full((1, r.shape[1]), jnp.inf, jnp.float32)
         for t in range(n_vtiles):
-            v = v_ref[:, pl.ds(t * v_tile, v_tile)]      # (3, VT)
+            v = v_ref[pl.ds(t * v_tile, v_tile), :]      # (VT, 8)
             # exact elementwise form: a = |v-o|^2 and b = d.(v-o) built
             # from true f32 per-coordinate differences (the matmul
             # expansion at DEFAULT MXU precision erred ~5e-2 m^2 and
             # dropped real rays)
-            w0 = v[0:1, :] - o[:, 0:1]
-            w1 = v[1:2, :] - o[:, 1:2]
-            w2 = v[2:3, :] - o[:, 2:3]
+            w0 = v[:, 0:1] - r[0:1, :]
+            w1 = v[:, 1:2] - r[1:2, :]
+            w2 = v[:, 2:3] - r[2:3, :]
             a = jnp.square(w0) + jnp.square(w1) + jnp.square(w2)
-            b = d[:, 0:1] * w0 + d[:, 1:2] * w1 + d[:, 2:3] * w2
+            b = r[3:4, :] * w0 + r[4:5, :] * w1 + r[5:6, :] * w2
             dist = a - b * b * dd_inv
-            best = jnp.minimum(best, jnp.min(dist, axis=1, keepdims=True))
-        out_ref[:] = (best < thr).astype(jnp.int32)
+            best = jnp.minimum(best, jnp.min(dist, axis=0, keepdims=True))
+        out_ref[:] = jnp.broadcast_to((best < thr).astype(jnp.int32),
+                                      out_ref.shape[1:])[None]
 
 
 def _ray_seg_cluster_kernel(r_ref, v_ref, c_ref, rad_ref, out_ref, hit_scr,
@@ -571,25 +583,26 @@ def ray_body_mask_pallas(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
         ray_o.astype(jnp.float32) - ctr, ray_d.astype(jnp.float32),
         act[:, None], jnp.zeros((n, 1), jnp.float32),
     ], axis=-1)
-    rows = jnp.pad(rows, ((0, n_pad), (0, 0)))
-    vt = jnp.pad(verts.astype(jnp.float32) - ctr, ((0, v_pad), (0, 0)),
-                 constant_values=SENTINEL).T
+    rows = jnp.pad(rows, ((0, n_pad), (0, 0))).T              # (8, N')
+    vt = jnp.pad(verts.astype(jnp.float32) - ctr, ((0, v_pad), (0, 5)),
+                 constant_values=SENTINEL)                    # (V', 8)
+    n_tiles = rows.shape[1] // RSEG_P
     out = pl.pallas_call(
-        functools.partial(_ray_seg_kernel, n_vtiles=vt.shape[1] // v_tile,
+        functools.partial(_ray_seg_kernel, n_vtiles=vt.shape[0] // v_tile,
                           thr=float(threshold_sq), v_tile=v_tile),
-        grid=(rows.shape[0] // RSEG_P,),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((RSEG_P, 8), lambda i: (i, 0),
+            pl.BlockSpec((8, RSEG_P), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, vt.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((vt.shape[0], 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((RSEG_P, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 8, RSEG_P), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows.shape[0], 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, RSEG_P), jnp.int32),
         interpret=interpret,
     )(rows, vt)
-    return out[:n, 0] > 0
+    return out[:, 0, :].reshape(-1)[:n] > 0
 
 
 def nn_1_pallas(query: jnp.ndarray, ref: jnp.ndarray,
@@ -603,34 +616,36 @@ def nn_1_pallas(query: jnp.ndarray, ref: jnp.ndarray,
     # center on the vertex centroid: distances are translation-invariant
     # and smaller magnitudes shrink the bf16x3 cancellation error
     ctr = jnp.mean(ref.astype(jnp.float32), axis=0)
-    qt = jnp.pad(query.astype(jnp.float32) - ctr, ((0, n_pad), (0, 0)))  # (N', 3)
-    vt = jnp.pad(ref.astype(jnp.float32) - ctr, ((0, v_pad), (0, 0)),
-                 constant_values=SENTINEL).T                          # (3, V')
-    n_tiles = qt.shape[0] // P_TILE
-    n_vtiles = vt.shape[1] // v_tile
+    qt = jnp.pad(jnp.pad(query.astype(jnp.float32) - ctr,
+                         ((0, n_pad), (0, 0))).T,
+                 ((0, 5), (0, 0)))                               # (8, N')
+    vt = jnp.pad(ref.astype(jnp.float32) - ctr, ((0, v_pad), (0, 5)),
+                 constant_values=SENTINEL)                       # (V', 8)
+    n_tiles = qt.shape[1] // P_TILE
+    n_vtiles = vt.shape[0] // v_tile
 
     dist, idx = pl.pallas_call(
         functools.partial(_knn_kernel, n_vtiles=n_vtiles, v_tile=v_tile),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((P_TILE, 3), lambda i: (i, 0),
+            pl.BlockSpec((8, P_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, vt.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((vt.shape[0], 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((P_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, P_TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, P_TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.float32),
-            jax.ShapeDtypeStruct((qt.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 8, P_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 8, P_TILE), jnp.int32),
         ],
         interpret=interpret,
     )(qt, vt)
-    return dist[:n, 0], idx[:n, 0]
+    return dist[:, 0, :].reshape(-1)[:n], idx[:, 0, :].reshape(-1)[:n]
 
 
 def nn_1_tables_pallas(query: jnp.ndarray, ref: jnp.ndarray,
