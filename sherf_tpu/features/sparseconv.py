@@ -39,15 +39,18 @@ from sherf_tpu.kernels.segment_accum import weighted_gather
 
 VOXEL_SIZE = 0.005  # meters (renderer.py:550, triplane.py:194)
 
-# Scales whose conv stages run in DENSE form (see SparseConvNet): at the
-# coarse scales the occupied fraction is high enough (4-10%) that one
-# XLA 3D conv over the dense grid — pure MXU work, zero per-site gathers —
-# beats the 27-tap gathered sparse form.  Scale s = number of stride-2
-# downsamples applied to the grid a stage READS: conv1/down1 read s=1,
-# conv2/down2 read s=2, conv3 reads s=3.  s=0 (the 18.7M-voxel full-res
-# grid) must never go dense (the densified tensor alone is ~1.2GB).
-# Env A/B knob: SHERF_DENSE_SCALES="" (all sparse) .. "123".
-# (default pending the on-chip A/B — flip to "23" once measured faster)
+# Scales whose conv stages run in DENSE form (see SparseConvNet): the
+# hypothesis was that at the coarse scales the occupied fraction (4-10%)
+# is high enough that one XLA 3D conv over the dense grid — pure MXU
+# work, zero per-site gathers — beats the 27-tap gathered sparse form.
+# Scale s = number of stride-2 downsamples applied to the grid a stage
+# READS: conv1/down1 read s=1, conv2/down2 read s=2, conv3 reads s=3.
+# s=0 (the 18.7M-voxel full-res grid) must never go dense (the densified
+# tensor alone is ~1.2GB).  DEFAULT OFF after the r5 on-chip A/B: the
+# dense form LOST at every scale combo — render 118.3 ("23") / 117.4
+# ("3") / 144.6 ("123") vs 117.7 ms sparse, train step 219.4 ("23") vs
+# 209.8 ms — the densify/BN-mask grid passes outweigh the gathers saved.
+# Env A/B knob retained: SHERF_DENSE_SCALES="" (all sparse) .. "123".
 DENSE_SCALES = frozenset(
     int(c) for c in os.environ.get("SHERF_DENSE_SCALES", "")) - {0}
 
