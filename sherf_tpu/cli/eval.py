@@ -11,9 +11,11 @@ import os
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--cfg", required=True,
-                   choices=["renderpeople", "thuman", "humman", "zju"])
+                   choices=["renderpeople", "thuman", "humman", "zju",
+                            "synthetic_grid"])
     p.add_argument("--data", required=True,
-                   help="a subject dir; siblings + human_list.txt define the split")
+                   help="a subject dir; siblings + human_list.txt define the "
+                   "split (synthetic_grid: 'subject<id>', no files needed)")
     p.add_argument("--resume", required=True, help="checkpoint path")
     p.add_argument("--outdir", default="eval_out")
     p.add_argument("--subjects", nargs="*", default=None,
@@ -80,13 +82,16 @@ def main(argv=None):
 
         # calibrate over a POSE/VIEW SWEEP of each eval subject, not one
         # frame (VERDICT r1: budgets fitted to a single body truncate
-        # harder poses) — every pose in the protocol range, a few views
+        # harder poses) — every pose in the protocol range, across the
+        # RENDERED view grid (r5: obs-view-only sweeps missed the target
+        # views' survivor counts and overflowed at eval time)
         sweep = []
         for root in subjects:
             ds = make_dataset(root, proto["np_pose_start"],
                               proto["pose_interval"], proto["pose_num"])
+            vstride = max(2, ds.camera_view_num // 6)
             for p in range(proto["pose_num"]):
-                for v in proto["obs_views"][:2]:
+                for v in range(0, ds.camera_view_num, vstride):
                     idx = p * ds.camera_view_num + int(v)
                     if idx < len(ds):
                         sweep.append(collate([ds[idx]]))

@@ -27,6 +27,13 @@ DATA_DEFAULTS = {
     "zju": dict(num_instance=6, poses_start=0, poses_interval=5,
                 poses_num=100, image_scaling=0.5),
     "synthetic": dict(num_instance=1, poses_num=8),
+    # multi-subject grid rig (data/synthetic.py SyntheticHumanDataset,
+    # native 512 scaled by --neural_rendering_resolution_initial, 6 fixed
+    # views): drives the PRODUCTION dataset pipeline + eval protocols with
+    # no files on disk — the lifecycle/generalization artifact config
+    # (instance i = subject i; train subjects 0..N-1, held-out subjects
+    # start at 100 by convention)
+    "synthetic_grid": dict(num_instance=24, poses_num=8),
 }
 
 
@@ -42,6 +49,8 @@ def main(argv=None):
     p.add_argument("--resume", default=None)
     p.add_argument("--snap", type=int, default=1)
     p.add_argument("--workers", type=int, default=3)
+    p.add_argument("--num_instance", type=int, default=0,
+                   help="override the cfg's subject count (0 = cfg default)")
     p.add_argument("--sample_obs_view", type=lambda s: s.lower() == "true",
                    default=False)
     p.add_argument("--fix_obs_view", type=lambda s: s.lower() == "true",
@@ -80,6 +89,8 @@ def main(argv=None):
 
     cfg = model_config_from_args(a)
     dd = dict(DATA_DEFAULTS[a.cfg])
+    if a.num_instance:
+        dd["num_instance"] = a.num_instance
     scaling = dd.pop("image_scaling", a.neural_rendering_resolution_initial / 512)
     dcfg = DataConfig(name=a.cfg, data_root=a.data, split="train",
                       image_scaling=scaling, white_back=a.white_back,
@@ -107,7 +118,8 @@ def main(argv=None):
 
     from sherf_tpu.train.loop import training_loop
 
-    training_loop(cfg, tcfg, dcfg, smpl, batch_source=batch_source)
+    training_loop(cfg, tcfg, dcfg, smpl, batch_source=batch_source,
+                  calibrate=a.calibrate_margin if a.calibrate_budgets else None)
 
 
 if __name__ == "__main__":

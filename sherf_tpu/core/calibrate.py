@@ -112,10 +112,15 @@ def measure_budgets(batch, cfg) -> dict:
             p.reshape(-1, D, 3), v, stride=stride,
             step_margin=rcfg.prune_step_margin).sum())(
                 pts, batch.vertices[b]))
-        # exact count estimated on a 1/8 depth subsample (x8), same as the
-        # bench validation; the margin covers the estimator error
-        d2 = jax.jit(lambda q, v: nn_1(q, v)[0])(pts[::8], batch.vertices[b])
-        exact_n = int((d2 < rcfg.prune_threshold_sq).sum()) * 8
+        # exact count estimated on a 1/s depth subsample (xs), same as the
+        # bench validation; the margin covers the estimator error.  The
+        # stride must not divide into whole rays: the flattened points are
+        # ray-major/depth-minor, so at D=8 a stride of 8 sampled ONLY
+        # depth 0 of every ray and estimated exact ~0 — the fitted budget
+        # then truncated every real sample (r5 lifecycle smoke)
+        s = 8 if D >= 24 else max(1, D // 4)
+        d2 = jax.jit(lambda q, v: nn_1(q, v)[0])(pts[::s], batch.vertices[b])
+        exact_n = int((d2 < rcfg.prune_threshold_sq).sum()) * s
         # ray budget mirrors the renderer's combined mask: AABB hit AND the
         # segment-level body-proximity test (renderer ray compaction)
         thr_ray = (float(np.sqrt(rcfg.prune_threshold_sq)) + 1e-3) ** 2

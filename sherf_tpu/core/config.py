@@ -241,11 +241,17 @@ EVAL_DEFAULTS = {
                    pose_interval=6, pose_num=17),
     "zju": dict(obs_views=(4, 10, 16), nv_pose_start=0, np_pose_start=0,
                 pose_interval=20, pose_num=25),
+    # on-disk-free synthetic rig (data/synthetic.py SyntheticHumanDataset):
+    # the lifecycle/generalization artifact protocol — 6-view ring, obs
+    # view 0, 4 poses per protocol
+    "synthetic_grid": dict(obs_views=(0,), nv_pose_start=0, np_pose_start=0,
+                           pose_interval=1, pose_num=4),
 }
 
 # The reference's hardcoded eval subject lists (test_loop.py:112-151).
 # RenderPeople/THuman use human_list.txt ranges instead (test_loop.py:102-111).
 EVAL_SUBJECTS = {
+    "synthetic_grid": ("subject100",),
     "humman": (
         "p000455_a000986", "p000456_a000396", "p000465_a000048",
         "p000465_a000701", "p000474_a000048", "p000477_a000396",

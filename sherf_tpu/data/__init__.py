@@ -1,5 +1,5 @@
-from sherf_tpu.data.synthetic import (SyntheticDataset, make_synthetic_batch,
-    synthetic_camera)
+from sherf_tpu.data.synthetic import (SyntheticDataset, SyntheticHumanDataset,
+    make_synthetic_batch, synthetic_camera)
 from sherf_tpu.data.base import (
     HumanDataset, collate, sample_rays_for_image, get_bound_2d_mask,
 )
@@ -14,11 +14,13 @@ DATASETS = {
     "renderpeople": RenderPeopleDataset,
     "humman": HuMManDataset,
     "zju": ZJUMoCapDataset,
+    "synthetic_grid": SyntheticHumanDataset,
 }
 
 __all__ = [
     "make_synthetic_batch",
     "SyntheticDataset",
+    "SyntheticHumanDataset",
     "synthetic_camera",
     "HumanDataset",
     "collate",

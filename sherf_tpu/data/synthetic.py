@@ -9,12 +9,14 @@ __getitem__:259-430) shape-for-shape.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
 
 from sherf_tpu.core.types import SMPLPose, SHERFBatch
+from sherf_tpu.data.base import HumanDataset
 from sherf_tpu.geometry.rays import get_rays_np, near_far_aabb_np
 from sherf_tpu.smpl.lbs import big_pose_params, smpl_forward
 from sherf_tpu.smpl.model import SMPLModel
@@ -273,3 +275,147 @@ class SyntheticDataset:
             t_params=t_params, t_vertices=t_vertices,
             t_world_bounds=t_bounds,
         )
+
+
+def fixed_ring_camera(H: int, W: int, view: int, n_views: int,
+                      distance: float = 3.0):
+    """Deterministic multi-view rig: camera ``view`` of an ``n_views``
+    azimuth ring (mild deterministic elevation), looking at the origin —
+    the synthetic stand-in for a real capture rig's fixed cameras
+    (e.g. THuman's 24 views, THuman_dataset.py:156)."""
+    theta = 2.0 * np.pi * view / n_views
+    phi = 0.25 * np.sin(3.0 * theta + 0.5)
+    cam_pos = distance * np.array([
+        np.cos(phi) * np.sin(theta), np.sin(phi), np.cos(phi) * np.cos(theta),
+    ], dtype=np.float32)
+    fwd = -cam_pos / np.linalg.norm(cam_pos)
+    up = np.array([0, 1, 0], dtype=np.float32)
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd]).astype(np.float32)
+    T = (-R @ cam_pos).reshape(3, 1).astype(np.float32)
+    f = 0.9 * max(H, W)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], dtype=np.float32)
+    return K, R, T
+
+
+class SyntheticHumanDataset(HumanDataset):
+    """Grid-indexed synthetic dataset with the REAL loaders' index
+    semantics — item k decomposes as (instance, pose, view), cameras are a
+    fixed ring, poses are deterministic per (subject, global pose id) —
+    so the eval protocols (eval/test_loop.py run_eval) and the production
+    training pipeline both drive it exactly like RenderPeople/THuman/
+    HuMMan/ZJU, with no files on disk.
+
+    Subject identity (SMPL shape + appearance phase) is shared with
+    :class:`SyntheticDataset` (``subject_identity``), so models trained on
+    either see the same subject space.  ``data_root`` is ``"subject<id>"``;
+    with ``multi_person=True`` the instance index offsets it (instance i
+    = subject base+i — the reference's humans_list role,
+    RenderPeople_dataset.py:151-175).
+    """
+
+    camera_view_num = 6
+    default_obs_view = 0
+
+    def __init__(self, data_root: str = "subject0", smpl: SMPLModel = None,
+                 resolution: int = 512, pose_scale: float = 0.25,
+                 **kw):
+        # ``resolution`` is the rig's NATIVE resolution (like the real
+        # captures' 512); image_scaling maps it to the render resolution,
+        # so --neural_rendering_resolution_initial drives it the same way
+        # as the file-backed datasets
+        super().__init__(data_root, smpl, **kw)
+        self.H = self.W = int(round(resolution * self.image_scaling))
+        self.pose_scale = pose_scale
+        base = str(data_root).strip().rstrip("/")
+        name = os.path.basename(base)
+        digits = "".join(c for c in name if c.isdigit())
+        self.subject_base = int(digits) if digits else 0
+        self._subj_cache = {}
+
+    def _subject(self, sid: int):
+        """(t_vertices, t_bounds, t_params, shape, phase) of subject sid;
+        cached (mirrors the real loaders' per-subject canonical SMPL
+        forward, e.g. THuman_dataset.py:225-257)."""
+        if sid not in self._subj_cache:
+            shape, phase = SyntheticDataset.subject_identity(sid)
+            fwd = _jitted_smpl_verts()
+            tv = np.asarray(fwd(self.smpl, jnp.asarray(self.big_pose["poses"]),
+                                jnp.asarray(shape))).astype(np.float32)
+            mn = tv.min(0) - 0.05
+            mx = tv.max(0) + 0.05
+            mn[2] -= 0.1
+            mx[2] += 0.1
+            t_params = dict(poses=self.big_pose["poses"], shapes=shape,
+                            R=self.big_pose["R"], Th=self.big_pose["Th"])
+            self._subj_cache[sid] = (tv, np.stack([mn, mx]).astype(np.float32),
+                                     t_params, shape, phase)
+        return self._subj_cache[sid]
+
+    def _pose_params(self, sid: int, pose_idx: int):
+        """Deterministic pose of (subject, RELATIVE pose index) — the
+        global pose id applies poses_start/poses_interval like the real
+        loaders' frame indexing (THuman_dataset.py:271-274)."""
+        pid = self.poses_start + pose_idx * self.poses_interval
+        rng = np.random.RandomState(131071 * (sid + 3) + 31 * pid + 5)
+        pose = (rng.randn(72) * self.pose_scale).astype(np.float32)
+        pose[:3] = 0
+        Th = (rng.randn(3) * 0.05).astype(np.float32)
+        return pose, np.eye(3, dtype=np.float32), Th
+
+    def _frame(self, sid: int, pose_idx: int, view: int):
+        """One (pose, view) frame of a subject: posed world verts, fixed
+        ring camera, splat image, rays."""
+        tv, tb, t_params, shape, phase = self._subject(sid)
+        pose, R_g, Th = self._pose_params(sid, pose_idx)
+        fwd = _jitted_smpl_verts()
+        v_smpl = np.asarray(fwd(self.smpl, jnp.asarray(pose),
+                                jnp.asarray(shape)))
+        verts = (v_smpl @ np.linalg.inv(R_g) + Th).astype(np.float32)
+        K, Rc, Tc = fixed_ring_camera(self.H, self.W, view,
+                                      self.camera_view_num)
+        img = _splat_image(self.H, self.W, K, Rc, Tc, verts,
+                           np.random.RandomState(0), phase=phase)
+        params = dict(poses=pose, shapes=shape, R=R_g, Th=Th)
+        return verts, K, Rc, Tc, img, params, tv, tb, t_params
+
+    def __getitem__(self, k):
+        instance, pose_idx, view = self._decompose(k)
+        sid = self.subject_base + instance
+        (verts, K, Rc, Tc, img, params, tv, tb, t_params) = self._frame(
+            sid, pose_idx, view)
+
+        wb = np.stack([verts.min(0) - 0.05, verts.max(0) + 0.05])
+        ray_o, ray_d = get_rays_np(self.H, self.W, K, Rc, Tc)
+        ray_o = ray_o.reshape(-1, 3)
+        ray_d = ray_d.reshape(-1, 3)
+        near, far, mask = near_far_aabb_np(wb, ray_o, ray_d)
+
+        obs_pose_idx = (int(self.obs_pose_index)
+                        if self.obs_pose_index is not None else pose_idx)
+        obs_view = self._obs_view()
+        (overts, oK, oR, oT, obs_img, oparams, _, _, _) = self._frame(
+            sid, obs_pose_idx, obs_view)
+
+        return dict(
+            img=img.astype(np.float32),
+            ray_o=ray_o, ray_d=ray_d, near=near, far=far,
+            mask_at_box=mask,
+            bkgd_msk=mask.astype(np.float32).reshape(-1),
+            params=params, vertices=verts,
+            obs_img=obs_img.astype(np.float32),
+            obs_K=oK.astype(np.float32), obs_R=oR.astype(np.float32),
+            obs_T=oT.reshape(3, 1).astype(np.float32),
+            obs_params=oparams, obs_vertices=overts,
+            t_params=t_params, t_vertices=tv,
+            t_world_bounds=tb,
+        )
+
+    def subject_bodies(self):
+        """Canonical (big-pose) vertex arrays of every served subject —
+        consumed by training_loop to size the static voxel grid and the
+        sparse-site capacities across subjects (train/loop.py)."""
+        n = self.num_instance if self.multi_person else 1
+        return [self._subject(self.subject_base + i)[0] for i in range(n)]

@@ -66,8 +66,13 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
                   progress_fn: Optional[Callable] = None,
                   abort_fn: Optional[Callable] = None,
                   profile_steps: Optional[tuple] = None,
-                  phase_timing: bool = False):
+                  phase_timing: bool = False,
+                  calibrate: Optional[float] = None):
     """batch_source: optional () -> SHERFBatch override (tests/synthetic).
+    calibrate: optional margin; when set, the static prune budgets are
+    fitted to measured survivor counts over the first few batches
+    (core/calibrate.py) before the model is finalized — the same sizing
+    bench.py and cli/eval.py --calibrate_budgets use.
     abort_fn: optional () -> bool polled every report interval; True stops
     training after a final snapshot (reference training_loop.py:155,521).
     profile_steps: optional (start, stop) step range captured with
@@ -86,22 +91,13 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
         json.dump({"model": cfg.to_json(), "train": str(tcfg), "data": str(dcfg)},
                   f, indent=2)
 
-    # canonical volume geometry is static per dataset
-    from sherf_tpu.smpl.lbs import big_pose_params, smpl_forward
-    import jax.numpy as jnp
-
-    bp = big_pose_params()
-    t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
-                                      jnp.asarray(bp["shapes"]))[0])
-    _, out_sh = prepare_voxel_volume(t_verts, voxel_size=cfg.voxel_size)
-    model = SHERFGenerator(cfg, out_sh=out_sh)
-
     # data — per-host shard of the global batch (SURVEY §2.4: one JAX
     # process per host; InfiniteSampler rank-shards like misc.py:113-147)
     n_proc, proc = jax.process_count(), jax.process_index()
     assert tcfg.batch_size % n_proc == 0, \
         f"global batch {tcfg.batch_size} must divide over {n_proc} hosts"
     per_host_batch = tcfg.batch_size // n_proc
+    dataset = None
     if batch_source is None:
         dataset = build_dataset(dcfg, smpl)
         loader = PrefetchLoader(dataset, per_host_batch, collate,
@@ -111,7 +107,46 @@ def training_loop(cfg: ModelConfig, tcfg: TrainConfig, dcfg: DataConfig,
                                 num_workers=dcfg.num_workers)
         batch_source = lambda: next(loader)
 
+    # canonical volume geometry is static per dataset run: the grid must
+    # cover EVERY served subject's canonical body, not just the
+    # default-shape one (a larger subject's sites would silently fall off
+    # the grid edge) — datasets that know their subjects' canonical
+    # bodies expose them via subject_bodies()
+    from sherf_tpu.smpl.lbs import big_pose_params, smpl_forward
+    import jax.numpy as jnp
+
+    bp = big_pose_params()
+    t_verts = np.asarray(smpl_forward(smpl, jnp.asarray(bp["poses"]),
+                                      jnp.asarray(bp["shapes"]))[0])
+    bodies = [t_verts]
+    if dataset is not None and hasattr(dataset, "subject_bodies"):
+        bodies += list(dataset.subject_bodies())
+    shapes = [prepare_voxel_volume(b, voxel_size=cfg.voxel_size)[1]
+              for b in bodies]
+    out_sh = tuple(int(max(s[k] for s in shapes)) for k in range(3))
+    if cfg.sparse_caps is None and len(bodies) > 1:
+        import dataclasses
+
+        from sherf_tpu.core.calibrate import calibrate_sparse_caps
+
+        cfg = dataclasses.replace(cfg, sparse_caps=calibrate_sparse_caps(
+            bodies, cfg.voxel_size))
+    model = SHERFGenerator(cfg, out_sh=out_sh)
+
     example = batch_source()
+    if calibrate is not None:
+        import dataclasses
+
+        from sherf_tpu.core.calibrate import calibrate_budgets
+
+        # a spread of batches, not one: budgets fitted to a single
+        # pose/subject truncate harder draws (VERDICT r1); the overflow
+        # diag counters remain the runtime guard
+        cal = [example] + [batch_source() for _ in range(11)]
+        fitted, worst = calibrate_budgets(cal, cfg, margin=calibrate)
+        print(f"calibrated budgets (margin {calibrate}): {worst}")
+        cfg = dataclasses.replace(cfg, render=fitted)
+        model = SHERFGenerator(cfg, out_sh=out_sh)
 
     # device mesh: the explicit shard_map step needs the data/ray axes to
     # divide the batch/ray dims, so auto-fit unless the configured shape

@@ -47,6 +47,14 @@ class SHERFTrainState(struct.PyTreeNode):
 
 
 def create_train_state(params, extra_vars: Dict, tcfg: TrainConfig) -> SHERFTrainState:
+    # 'diag' is the per-apply overflow-counter collection (core/diag.py):
+    # ephemeral output state, never meaningful input.  Carrying it through
+    # the train state (and therefore through checkpoints) poisoned later
+    # reads — sow(reduce_fn=maximum) folds the stale restored counters
+    # into every fresh frame's, so cli/eval reported a training-time
+    # overflow against freshly calibrated budgets forever (r5 lifecycle
+    # smoke).
+    extra_vars = {k: v for k, v in extra_vars.items() if k != "diag"}
     schedule = step_lr_schedule(tcfg.lr, tcfg.lr_decay_images, tcfg.batch_size,
                                 tcfg.lr_decay_factor)
     tx = optax.chain(
