@@ -12,6 +12,21 @@ import numpy as np
 from sherf_tpu.core.config import ModelConfig, RenderConfig
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache for every CLI entry point (bench.py and
+    the tools already do this): on the tunneled axon platform a FRESH
+    compile of the production programs costs minutes of wall clock per
+    program — the r5 lifecycle artifact's first runs looked wedged but
+    were simply recompiling everything a bench run had already cached."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sherf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+enable_compile_cache()
+
+
 def resolve_smpl(path: Optional[str]):
     """Load the SMPL pickle if given/else the standard asset location, else
     fall back to the synthetic test model (datasets then won't align, but

@@ -85,9 +85,10 @@ class HuMManDataset(HumanDataset):
             R=R.astype(np.float32),
             Th=np.asarray(raw["transl"], np.float32).reshape(3),
         )
-        xyz, joints = smpl_forward(self.smpl, jnp.asarray(params["poses"]),
-                                   jnp.asarray(params["shapes"]))
-        xyz, joints = np.asarray(xyz), np.asarray(joints)
+        from sherf_tpu.data.base import host_smpl_verts
+
+        xyz, joints = host_smpl_verts(self.smpl, params["poses"],
+                                      params["shapes"])
         # pelvis-shift correction of Th (HuMMan_dataset.py:227-234)
         pelvis_shift = joints[:1] - joints[:1] @ params["R"].T
         params["Th"] = (params["Th"] + pelvis_shift.reshape(3)).astype(np.float32)

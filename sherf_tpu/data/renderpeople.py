@@ -95,9 +95,11 @@ class RenderPeopleDataset(HumanDataset):
     def _load_smpl(self, root, pose_index):
         import jax.numpy as jnp
 
+        from sherf_tpu.data.base import host_smpl_verts
+
         params = self._smpl_params(root, pose_index)
-        xyz = np.asarray(smpl_forward(self.smpl, jnp.asarray(params["poses"]),
-                                      jnp.asarray(params["shapes"]))[0])
+        xyz = host_smpl_verts(self.smpl, params["poses"],
+                              params["shapes"])[0]
         verts = (xyz @ params["R"].T + params["Th"]).astype(np.float32)
         bounds = np.stack([verts.min(0) - 0.05, verts.max(0) + 0.05])
         return bounds, verts, params

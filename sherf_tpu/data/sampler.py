@@ -72,14 +72,19 @@ class PrefetchLoader:
         with ThreadPoolExecutor(self.num_workers) as pool:
             while not self._stop.is_set():
                 idxs = [next(it) for _ in range(self.batch_size)]
-                items = list(pool.map(self.dataset.__getitem__, idxs))
-                self.q.put(self.collate_fn(items))
+                # queue raw numpy ITEMS; collate runs on the CONSUMER
+                # thread (__next__) because it device-puts (jnp.asarray)
+                # — on the remote-dispatch axon platform, loader threads
+                # transferring over the tunnel concurrently with
+                # main-thread compiles wedged the connection for good
+                # (r5 lifecycle artifact: both ends in blocked reads)
+                self.q.put(list(pool.map(self.dataset.__getitem__, idxs)))
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        return self.q.get()
+        return self.collate_fn(self.q.get())
 
     def close(self):
         self._stop.set()

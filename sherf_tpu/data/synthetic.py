@@ -66,14 +66,13 @@ def _splat_image(H, W, K, R, T, verts, rng, phase=None):
 import functools
 
 
-@functools.cache
 def _jitted_smpl_verts():
-    # jitted + cached: unjitted smpl_forward is ~200 op dispatches, each a
-    # full round trip on the remote-dispatch axon platform (~minutes of
-    # prep per bench/tool run); SMPLModel is a pytree so it can be traced
-    import jax
+    """Host-side SMPL forward (verts only) — jitted AND pinned to the CPU
+    backend via :func:`sherf_tpu.data.base.host_smpl_verts` (see its
+    docstring for the axon tunnel-wedge rationale)."""
+    from sherf_tpu.data.base import host_smpl_verts
 
-    return jax.jit(lambda m, p, s: smpl_forward(m, p, s)[0])
+    return lambda m, p, s: host_smpl_verts(m, p, s)[0]
 
 
 def make_synthetic_batch(smpl: SMPLModel, batch_size: int = 1, H: int = 32,

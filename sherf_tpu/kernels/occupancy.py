@@ -29,8 +29,12 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-GRID_SIZE = 192          # static cells per axis
-CELL = 0.0125            # meters; 192 * 0.0125 = 2.4 m cube covers any SMPL
+GRID_SIZE = 224          # static cells per axis
+CELL = 0.0125            # meters; 224 * 0.0125 = 2.8 m cube covers any SMPL
+                         # (192/2.4m rejected a wide-pose 2.14m-span
+                         # synthetic subject once the prune dilation was
+                         # added on both sides — r5 lifecycle artifact;
+                         # 224^3 int16 = 22 MB, still trivial HBM)
 #                          pose (max body span ~2.2 m arms-out) with the
 #                          dilation margin; bench.py validates the span.
 #                          Smaller grid (7 MB int8 vs 11 MB at 224) gathers
